@@ -1,0 +1,92 @@
+"""Attention modules: timm-style self-attention (DiT blocks) and the
+bidirectional CrossAttentionFusion joining the spatial/frequency halves.
+
+Reference: timm `Attention` (used at `/root/reference/dimsum/models_dim.py:1540`)
+and `/root/reference/dimsum/attention_fusion.py:9-84`.
+
+Uses `jax.nn.dot_product_attention`, which XLA lowers to a fused TPU
+attention; sequence lengths here are <= 1024 so flash-style chunking is
+unnecessary.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+def _sdpa(q, k, v):
+    """q,k,v: (B, H, L, Dh) -> (B, H, L, Dh), fp32 softmax."""
+    # jax.nn.dot_product_attention expects (B, L, H, Dh)
+    out = jax.nn.dot_product_attention(
+        q.transpose(0, 2, 1, 3),
+        k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+    )
+    return out.transpose(0, 2, 1, 3)
+
+
+class Attention(nn.Module):
+    """timm.models.vision_transformer.Attention equivalent."""
+
+    num_heads: int
+    qkv_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, L, D = x.shape
+        head_dim = D // self.num_heads
+        qkv = nn.Dense(3 * D, use_bias=self.qkv_bias, dtype=self.dtype,
+                       name="qkv")(x)
+        qkv = qkv.reshape(B, L, 3, self.num_heads, head_dim)
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        out = _sdpa(q, k, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
+        return nn.Dense(D, use_bias=True, dtype=self.dtype, name="proj")(out)
+
+
+class CrossAttentionFusion(nn.Module):
+    """Bidirectional cross-attention between the spatial (x1) and frequency
+    (x2) half-channels (reference attention_fusion.py).
+
+    dim is the FULL block width; each stream has dim//2 channels and
+    head_dim = dim // 2 // num_heads.  Outputs are concatenated and projected
+    back to the full width.
+    """
+
+    dim: int
+    num_heads: int = 8
+    qkv_bias: bool = False
+    swap_k: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x1, x2):
+        B, N, C = x1.shape  # C = dim // 2
+        head_dim = self.dim // 2 // self.num_heads
+
+        def qkv_of(x, name):
+            qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
+                           name=name)(x)
+            qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+            return (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+
+        q1, k1, v1 = qkv_of(x1, "qkv1")
+        q2, k2, v2 = qkv_of(x2, "qkv2")
+
+        if not self.swap_k:
+            x12 = _sdpa(q1, k2, v2)
+            x21 = _sdpa(q2, k1, v1)
+        else:
+            x12 = _sdpa(q2, k1, v2)
+            x21 = _sdpa(q1, k2, v1)
+
+        x12 = x12.transpose(0, 2, 1, 3).reshape(B, N, C)
+        x21 = x21.transpose(0, 2, 1, 3).reshape(B, N, C)
+        out = jnp.concatenate([x12, x21], axis=-1)
+        return nn.Dense(self.dim, use_bias=True, dtype=self.dtype,
+                        name="proj")(out)

@@ -1,0 +1,588 @@
+"""DiM block zoo: raw/linear/window/wave/dct/einfft/combined variants + MoE +
+DiT attention block.
+
+Reference: `/root/reference/dimsum/models_dim.py` --
+  DiMBlock :223-358, DiMBlockWindow :361-502, WaveDiMBlock :505-710,
+  EinFFT :713-775, DCTBlock :778-933, MoEBlock :936-971,
+  DiMBlockCombined :974-1117 (the published arch), CombinedFourier :1120-1264,
+  CombinedEinFFT :1267-1399, DiMBlockRaw :1402-1529, DiTBlock :1532-1554 --
+and `/root/reference/dimsum/switch_mlp.py` (SwitchMLP).
+
+All blocks share the reference's prenorm structure: the residual add happens
+FIRST (fused add+norm), the summed residual is threaded alongside the hidden
+states, and conditioning enters via adaLN shift/scale/gate around the mixer
+and FFN.  Token reorderings (transpose / serpentine continuity / reverse /
+windowed scan) are pure reshapes and flips that XLA folds into the
+surrounding ops.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+from einops import rearrange
+
+from dimsum_tpu.ops.norms import fused_add_norm, layer_norm, modulate
+from dimsum_tpu.ops.wavelet import dwt_tokens, idwt_tokens
+from dimsum_tpu.ops.dct import dct_patch, idct_patch
+from dimsum_tpu.ops.scan_orders import local_scan, local_reverse
+from dimsum_tpu.models.mamba import Mamba
+from dimsum_tpu.models.mlp import GatedMLP, Mlp, ExpertMLP, gelu_tanh
+from dimsum_tpu.models.attention import Attention, CrossAttentionFusion
+
+
+class Norm(nn.Module):
+    """LayerNorm (weight+bias) or RMSNorm (weight only) with fp32 math."""
+
+    rms: bool = False
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, residual=None, prenorm=True, residual_in_fp32=True):
+        d = x.shape[-1]
+        weight = self.param("weight", nn.initializers.ones, (d,))
+        bias = None if self.rms else self.param(
+            "bias", nn.initializers.zeros, (d,))
+        return fused_add_norm(
+            x, weight, bias, residual=residual, eps=self.eps,
+            prenorm=prenorm, residual_in_fp32=residual_in_fp32,
+            is_rms=self.rms,
+        )
+
+
+def _add_identity_norm(x, residual, residual_in_fp32=True):
+    """norm_cls=nn.Identity case (inner blocks of the combined block)."""
+    if residual is None:
+        residual = x
+    else:
+        residual = residual + x
+    out = residual
+    if residual_in_fp32:
+        residual = residual.astype(jnp.float32)
+    return out, residual
+
+
+class AdaLN(nn.Module):
+    """SiLU -> Linear(n_chunks * dim), zero-initialized (adaLN-Zero)."""
+
+    dim: int
+    n_chunks: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, c):
+        mod = nn.Dense(self.n_chunks * self.dim, dtype=self.dtype, name="fc",
+                       kernel_init=nn.initializers.zeros)(jax.nn.silu(c))
+        return jnp.split(mod, self.n_chunks, axis=-1)
+
+
+def _square_side(L: int) -> int:
+    return int(round(L ** 0.5))
+
+
+def _transpose_tokens(x, h, w):
+    return rearrange(x, "n (h w) c -> n (w h) c", h=h, w=w)
+
+
+def _scanning_continuity(x, h, w):
+    """Flip odd rows (serpentine) -- reference models_dim.py:327-330.
+    Note the reference groups tokens as (w h); replicated exactly."""
+    xg = rearrange(x, "n (w h) c -> n c w h", h=h, w=w)
+    flipped = jnp.flip(xg[:, :, 1::2], axis=-1)
+    xg = xg.at[:, :, 1::2].set(flipped)
+    return rearrange(xg, "n c w h -> n (w h) c", h=h, w=w)
+
+
+class MixerBlockCore(nn.Module):
+    """Shared mixer-under-adaLN core with optional token reordering and FFN.
+
+    Covers DiMBlockRaw (no_ffn=True) and DiMBlock "linear" (no_ffn=False).
+    """
+
+    dim: int
+    mixer_kwargs: Dict[str, Any]
+    rms_norm: bool = False
+    norm_eps: float = 1e-5
+    identity_norm: bool = False
+    residual_in_fp32: bool = True
+    reverse: bool = False
+    transpose: bool = False
+    scanning_continuity: bool = False
+    no_ffn: bool = True
+    c_dim: Optional[int] = None
+    use_gated_mlp: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states, residual=None, c=None):
+        if self.identity_norm:
+            hidden_states, residual = _add_identity_norm(
+                hidden_states, residual, self.residual_in_fp32)
+        else:
+            hidden_states, residual = Norm(
+                rms=self.rms_norm, eps=self.norm_eps, name="norm")(
+                hidden_states, residual,
+                residual_in_fp32=self.residual_in_fp32)
+
+        L = hidden_states.shape[1]
+        h = w = _square_side(L)
+        if self.transpose:
+            hidden_states = _transpose_tokens(hidden_states, h, w)
+        if self.scanning_continuity:
+            hidden_states = _scanning_continuity(hidden_states, h, w)
+        if self.reverse:
+            hidden_states = jnp.flip(hidden_states, axis=1)
+
+        mixer = Mamba(d_model=self.dim, dtype=self.dtype,
+                      name="mixer", **self.mixer_kwargs)
+        n_chunks = 3 if self.no_ffn else 6
+        mods = AdaLN(self.dim, n_chunks, dtype=self.dtype,
+                     name="adaLN_modulation")(c)
+        shift_ssm, scale_ssm, gate_ssm = mods[:3]
+        hidden_states = hidden_states + gate_ssm[:, None, :] * mixer(
+            modulate(hidden_states, shift_ssm, scale_ssm), c)
+        if not self.no_ffn:
+            shift_mlp, scale_mlp, gate_mlp = mods[3:]
+            normed = Norm(rms=self.rms_norm, eps=self.norm_eps,
+                          name="norm_2")(hidden_states, prenorm=False)
+            mlp = GatedMLP(4 * self.dim, act=gelu_tanh, dtype=self.dtype,
+                           name="mlp") if self.use_gated_mlp else Mlp(
+                4 * self.dim, act=gelu_tanh, dtype=self.dtype, name="mlp")
+            hidden_states = hidden_states + gate_mlp[:, None, :] * mlp(
+                modulate(normed, shift_mlp, scale_mlp))
+
+        if self.reverse:
+            hidden_states = jnp.flip(hidden_states, axis=1)
+        if self.scanning_continuity:
+            hidden_states = _scanning_continuity(hidden_states, h, w)
+        if self.transpose:
+            hidden_states = _transpose_tokens(hidden_states, h, w)
+        return hidden_states, residual
+
+
+def DiMBlockRaw(**kwargs) -> MixerBlockCore:
+    """Mixer-only block (reference :1402-1529)."""
+    return MixerBlockCore(no_ffn=True, **kwargs)
+
+
+def DiMBlock(**kwargs) -> MixerBlockCore:
+    """'linear' block: mixer + FFN under 6-way adaLN (reference :223-358)."""
+    return MixerBlockCore(no_ffn=False, **kwargs)
+
+
+class DiMBlockWindow(nn.Module):
+    """Windowed-scan block (reference :361-502): local_scan(w=4) ordering,
+    optional rolled shift-window, mixer + FFN."""
+
+    dim: int
+    mixer_kwargs: Dict[str, Any]
+    rms_norm: bool = False
+    norm_eps: float = 1e-5
+    residual_in_fp32: bool = True
+    reverse: bool = False
+    transpose: bool = False
+    shift_window: bool = False
+    use_gated_mlp: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states, residual=None, c=None):
+        hidden_states, residual = Norm(
+            rms=self.rms_norm, eps=self.norm_eps, name="norm")(
+            hidden_states, residual, residual_in_fp32=self.residual_in_fp32)
+
+        L = hidden_states.shape[1]
+        h = w = _square_side(L)
+        column_first = bool(self.transpose)
+        hidden_states = local_scan(hidden_states, w=4, H=h, W=w,
+                                   column_first=column_first)
+        if self.shift_window:
+            xg = hidden_states.reshape(-1, h, w, hidden_states.shape[-1])
+            xg = jnp.roll(xg, shift=(-1, -1), axis=(1, 2))
+            hidden_states = xg.reshape(-1, h * w, xg.shape[-1])
+        if self.reverse:
+            hidden_states = jnp.flip(hidden_states, axis=1)
+
+        mixer = Mamba(d_model=self.dim, dtype=self.dtype, name="mixer",
+                      **self.mixer_kwargs)
+        mods = AdaLN(self.dim, 6, dtype=self.dtype,
+                     name="adaLN_modulation")(c)
+        shift_ssm, scale_ssm, gate_ssm, shift_mlp, scale_mlp, gate_mlp = mods
+        hidden_states = hidden_states + gate_ssm[:, None, :] * mixer(
+            modulate(hidden_states, shift_ssm, scale_ssm), c)
+        normed = Norm(rms=self.rms_norm, eps=self.norm_eps, name="norm_2")(
+            hidden_states, prenorm=False)
+        mlp_cls = GatedMLP if self.use_gated_mlp else Mlp
+        hidden_states = hidden_states + gate_mlp[:, None, :] * mlp_cls(
+            4 * self.dim, act=gelu_tanh, dtype=self.dtype, name="mlp")(
+            modulate(normed, shift_mlp, scale_mlp))
+
+        if self.reverse:
+            hidden_states = jnp.flip(hidden_states, axis=1)
+        if self.shift_window:
+            xg = hidden_states.reshape(-1, h, w, hidden_states.shape[-1])
+            xg = jnp.roll(xg, shift=(1, 1), axis=(1, 2))
+            hidden_states = xg.reshape(-1, h * w, xg.shape[-1])
+        hidden_states = local_reverse(hidden_states, w=4, H=h, W=w,
+                                      column_first=column_first)
+        return hidden_states, residual
+
+
+class WaveDiMBlock(nn.Module):
+    """Frequency branch: 2-level Haar pack -> windowed scan -> mixer (+FFN)
+    -> inverse (reference :505-710)."""
+
+    dim: int
+    mixer_kwargs: Dict[str, Any]
+    rms_norm: bool = False
+    norm_eps: float = 1e-5
+    identity_norm: bool = False
+    residual_in_fp32: bool = True
+    reverse: bool = False
+    transpose: bool = False
+    scanning_continuity: bool = False
+    no_ffn: bool = False
+    c_dim: Optional[int] = None
+    window_scan: bool = True
+    num_wavelet_lv: int = 2
+    use_gated_mlp: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states, residual=None, c=None):
+        if self.identity_norm:
+            hidden_states, residual = _add_identity_norm(
+                hidden_states, residual, self.residual_in_fp32)
+        else:
+            hidden_states, residual = Norm(
+                rms=self.rms_norm, eps=self.norm_eps, name="norm")(
+                hidden_states, residual,
+                residual_in_fp32=self.residual_in_fp32)
+
+        L = hidden_states.shape[1]
+        h = w = _square_side(L)
+        hidden_states = dwt_tokens(hidden_states, self.num_wavelet_lv)
+        patch = 2 ** self.num_wavelet_lv
+        column_first = bool(self.transpose)
+        if self.window_scan:
+            hidden_states = local_scan(hidden_states, w=w // patch, H=h, W=w,
+                                       column_first=column_first)
+        elif self.transpose:
+            hidden_states = _transpose_tokens(hidden_states, h, w)
+        if self.scanning_continuity:
+            hidden_states = _scanning_continuity(hidden_states, h, w)
+        if self.reverse:
+            hidden_states = jnp.flip(hidden_states, axis=1)
+
+        mixer = Mamba(d_model=self.dim, dtype=self.dtype, name="mixer",
+                      **self.mixer_kwargs)
+        n_chunks = 3 if self.no_ffn else 6
+        mods = AdaLN(self.dim, n_chunks, dtype=self.dtype,
+                     name="adaLN_modulation")(c)
+        shift_ssm, scale_ssm, gate_ssm = mods[:3]
+        hidden_states = hidden_states + gate_ssm[:, None, :] * mixer(
+            modulate(hidden_states, shift_ssm, scale_ssm), c)
+        if not self.no_ffn:
+            shift_mlp, scale_mlp, gate_mlp = mods[3:]
+            normed = Norm(rms=self.rms_norm, eps=self.norm_eps,
+                          name="norm_2")(hidden_states, prenorm=False)
+            mlp_cls = GatedMLP if self.use_gated_mlp else Mlp
+            hidden_states = hidden_states + gate_mlp[:, None, :] * mlp_cls(
+                4 * self.dim, act=gelu_tanh, dtype=self.dtype, name="mlp")(
+                modulate(normed, shift_mlp, scale_mlp))
+
+        if self.reverse:
+            hidden_states = jnp.flip(hidden_states, axis=1)
+        if self.scanning_continuity:
+            hidden_states = _scanning_continuity(hidden_states, h, w)
+        if self.window_scan:
+            hidden_states = local_reverse(hidden_states, w=w // patch, H=h,
+                                          W=w, column_first=column_first)
+        elif self.transpose:
+            hidden_states = _transpose_tokens(hidden_states, h, w)
+        hidden_states = idwt_tokens(hidden_states, self.num_wavelet_lv)
+        return hidden_states, residual
+
+
+class DCTBlock(nn.Module):
+    """DCT frequency branch (reference :778-933): patchwise frozen-basis DCT,
+    token regroup, mixer (+FFN), inverse DCT."""
+
+    dim: int
+    mixer_kwargs: Dict[str, Any]
+    rms_norm: bool = False
+    norm_eps: float = 1e-5
+    identity_norm: bool = False
+    residual_in_fp32: bool = True
+    dct_size: int = 2
+    reverse: bool = False
+    transpose: bool = False
+    scanning_continuity: bool = False
+    no_ffn: bool = False
+    c_dim: Optional[int] = None
+    use_gated_mlp: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states, residual=None, c=None):
+        if self.identity_norm:
+            hidden_states, residual = _add_identity_norm(
+                hidden_states, residual, self.residual_in_fp32)
+        else:
+            hidden_states, residual = Norm(
+                rms=self.rms_norm, eps=self.norm_eps, name="norm")(
+                hidden_states, residual,
+                residual_in_fp32=self.residual_in_fp32)
+
+        side = _square_side(hidden_states.shape[1])
+        C = hidden_states.shape[-1]
+        k = self.dct_size
+        rk = k  # reserve_kernel == dct_size in the reference (:827)
+        xg = rearrange(hidden_states, "b (h w) d -> b d h w", h=side)
+        xg = dct_patch(xg, k, rk)
+        hs = rearrange(xg, "b (c p1 p2) h w -> b (h p1 w p2) c",
+                       c=C, p1=rk)
+
+        if self.transpose:
+            hs = _transpose_tokens(hs, side, side)
+        if self.scanning_continuity:
+            hs = _scanning_continuity(hs, side, side)
+        if self.reverse:
+            hs = jnp.flip(hs, axis=1)
+
+        mixer = Mamba(d_model=self.dim, dtype=self.dtype, name="mixer",
+                      **self.mixer_kwargs)
+        n_chunks = 3 if self.no_ffn else 6
+        mods = AdaLN(self.dim, n_chunks, dtype=self.dtype,
+                     name="adaLN_modulation")(c)
+        shift_ssm, scale_ssm, gate_ssm = mods[:3]
+        hs = hs + gate_ssm[:, None, :] * mixer(
+            modulate(hs, shift_ssm, scale_ssm), c)
+        if not self.no_ffn:
+            shift_mlp, scale_mlp, gate_mlp = mods[3:]
+            normed = Norm(rms=self.rms_norm, eps=self.norm_eps,
+                          name="norm_2")(hs, prenorm=False)
+            mlp_cls = GatedMLP if self.use_gated_mlp else Mlp
+            hs = hs + gate_mlp[:, None, :] * mlp_cls(
+                4 * self.dim, act=gelu_tanh, dtype=self.dtype, name="mlp")(
+                modulate(normed, shift_mlp, scale_mlp))
+
+        if self.reverse:
+            hs = jnp.flip(hs, axis=1)
+        if self.scanning_continuity:
+            hs = _scanning_continuity(hs, side, side)
+        if self.transpose:
+            hs = _transpose_tokens(hs, side, side)
+
+        xg = rearrange(hs, "b (h p1 w p2) c -> b (c p1 p2) h w",
+                       c=C, p1=rk, p2=rk, h=side // rk)
+        out = idct_patch(xg, k, rk)
+        out = rearrange(out, "b c h w -> b (h w) c")
+        return out, residual
+
+
+class EinFFT(nn.Module):
+    """SiMBA-style spectral channel MLP (reference :713-775)."""
+
+    dim: int
+    num_blocks: int = 4
+    sparsity_threshold: float = 0.01
+    scale: float = 0.02
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, C = x.shape
+        bs = self.dim // self.num_blocks
+        init = nn.initializers.normal(self.scale)
+        w1 = self.param("complex_weight_1", init,
+                        (2, self.num_blocks, bs, bs))
+        w2 = self.param("complex_weight_2", init,
+                        (2, self.num_blocks, bs, bs))
+        b1 = self.param("complex_bias_1", init, (2, self.num_blocks, bs))
+        b2 = self.param("complex_bias_2", init, (2, self.num_blocks, bs))
+
+        xb = x.reshape(B, N, self.num_blocks, bs).astype(jnp.complex64)
+        xf = jnp.fft.fft2(xb, axes=(1, 2), norm="ortho")
+
+        def mul(v, w):
+            return jnp.einsum("...bd,bdk->...bk", v, w)
+
+        r1 = jax.nn.relu(mul(xf.real, w1[0]) - mul(xf.imag, w1[1]) + b1[0])
+        i1 = jax.nn.relu(mul(xf.real, w1[1]) + mul(xf.imag, w1[0]) + b1[1])
+        r2 = mul(r1, w2[0]) - mul(i1, w2[1]) + b2[0]
+        i2 = mul(r1, w2[1]) + mul(i1, w2[0]) + b2[1]
+
+        lam = self.sparsity_threshold
+
+        def softshrink(v):
+            return jnp.sign(v) * jnp.maximum(jnp.abs(v) - lam, 0.0)
+
+        r2, i2 = softshrink(r2), softshrink(i2)
+        out = jnp.fft.ifft2(r2 + 1j * i2, axes=(1, 2), norm="ortho")
+        return out.real.astype(jnp.float32).reshape(B, N, C)
+
+
+class SwitchMLP(nn.Module):
+    """Top-1 routed MoE FFN (reference switch_mlp.py).  All experts are local
+    (no expert parallelism in the reference); routing computes every expert
+    densely and masks -- the TPU-friendly dense dispatch for small E.
+    """
+
+    dim: int
+    num_moe_experts: int = 8
+    add_bias_linear: bool = False
+    gated_linear_unit: bool = True
+    routing_mode: str = "top1"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, c=None):
+        B, L, D = x.shape
+        logits = nn.Dense(self.num_moe_experts, name="router")(x)
+        if self.routing_mode == "sinkhorn":
+            route = jax.nn.sigmoid(logits)
+        else:
+            route = jax.nn.softmax(logits, axis=-1)
+        max_prob = jnp.max(route, axis=-1, keepdims=True)
+        max_ind = jnp.argmax(route, axis=-1)
+        onehot = jax.nn.one_hot(max_ind, self.num_moe_experts,
+                                dtype=x.dtype)  # (B, L, E)
+        out = jnp.zeros_like(x)
+        for e in range(self.num_moe_experts):
+            expert = ExpertMLP(self.dim, self.add_bias_linear,
+                               self.gated_linear_unit, dtype=self.dtype,
+                               name=f"local_experts_{e}")
+            out = out + onehot[..., e : e + 1] * expert(x)
+        return out * max_prob
+
+
+class MoEBlock(nn.Module):
+    """Add+norm wrapper around SwitchMLP (reference :936-971)."""
+
+    dim: int
+    rms_norm: bool = False
+    norm_eps: float = 1e-5
+    residual_in_fp32: bool = True
+    num_moe_experts: int = 8
+    add_bias_linear: bool = False
+    gated_linear_unit: bool = True
+    routing_mode: str = "top1"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states, residual=None, c=None):
+        hidden_states, residual = Norm(
+            rms=self.rms_norm, eps=self.norm_eps, name="norm")(
+            hidden_states, residual, residual_in_fp32=self.residual_in_fp32)
+        hidden_states = SwitchMLP(
+            self.dim, self.num_moe_experts, self.add_bias_linear,
+            self.gated_linear_unit, self.routing_mode, dtype=self.dtype,
+            name="mixer")(hidden_states)
+        return hidden_states, residual
+
+
+class DiTBlock(nn.Module):
+    """adaLN-Zero attention block (reference :1532-1554)."""
+
+    hidden_size: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    use_gated_mlp: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, c):
+        mods = AdaLN(self.hidden_size, 6, dtype=self.dtype,
+                     name="adaLN_modulation")(c)
+        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = mods
+        attn = Attention(self.num_heads, qkv_bias=True, dtype=self.dtype,
+                         name="attn")
+        x = x + gate_msa[:, None, :] * attn(
+            modulate(layer_norm(x, eps=1e-6), shift_msa, scale_msa))
+        mlp_cls = GatedMLP if self.use_gated_mlp else Mlp
+        mlp = mlp_cls(int(self.hidden_size * self.mlp_ratio), act=gelu_tanh,
+                      dtype=self.dtype, name="mlp")
+        x = x + gate_mlp[:, None, :] * mlp(
+            modulate(layer_norm(x, eps=1e-6), shift_mlp, scale_mlp))
+        return x
+
+
+class DiMBlockCombined(nn.Module):
+    """The published DiMSUM block (reference :974-1117):
+
+    add+norm -> split channels -> spatial half through DiMBlockRaw and
+    frequency half through WaveDiMBlock -> CrossAttentionFusion -> residual
+    -> adaLN-gated GatedMLP FFN.
+    """
+
+    dim: int
+    mixer_kwargs: Dict[str, Any]
+    rms_norm: bool = False
+    norm_eps: float = 1e-5
+    residual_in_fp32: bool = True
+    reverse: bool = False
+    transpose: bool = False
+    scanning_continuity: bool = False
+    use_gated_mlp: bool = True
+    freq_variant: str = "wave"  # "wave" | "dct" | "einfft"
+    mixer_kwargs_2: Optional[Dict[str, Any]] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states, residual=None, c=None):
+        hidden_states, residual = Norm(
+            rms=self.rms_norm, eps=self.norm_eps, name="norm")(
+            hidden_states, residual, residual_in_fp32=self.residual_in_fp32)
+
+        half = self.dim // 2
+        x1, x2 = jnp.split(hidden_states, 2, axis=2)
+
+        spatial = DiMBlockRaw(
+            dim=half, mixer_kwargs=self.mixer_kwargs, identity_norm=True,
+            residual_in_fp32=self.residual_in_fp32, reverse=self.reverse,
+            transpose=self.transpose,
+            scanning_continuity=self.scanning_continuity,
+            c_dim=self.dim, dtype=self.dtype, name="spatial_mamba")
+        x1, _ = spatial(x1, None, c)
+
+        if self.freq_variant == "wave":
+            freq = WaveDiMBlock(
+                dim=half, mixer_kwargs=self.mixer_kwargs, identity_norm=True,
+                residual_in_fp32=self.residual_in_fp32, reverse=False,
+                transpose=self.reverse,  # reference :1029
+                scanning_continuity=self.scanning_continuity, no_ffn=True,
+                c_dim=self.dim, num_wavelet_lv=2, dtype=self.dtype,
+                name="freq_mamba")
+            x2, _ = freq(x2, None, c)
+        elif self.freq_variant == "dct":
+            freq = DCTBlock(
+                dim=half, mixer_kwargs=self.mixer_kwargs_2,
+                identity_norm=True, residual_in_fp32=self.residual_in_fp32,
+                reverse=False, transpose=False,
+                scanning_continuity=self.scanning_continuity, no_ffn=True,
+                c_dim=self.dim, dct_size=4, dtype=self.dtype,
+                name="freq_mamba")
+            x2, _ = freq(x2, None, c)
+        elif self.freq_variant == "einfft":
+            x2 = EinFFT(half, name="freq_mamba")(x2)
+        else:
+            raise ValueError(self.freq_variant)
+
+        fused = CrossAttentionFusion(
+            self.dim, num_heads=8, qkv_bias=True, swap_k=False,
+            dtype=self.dtype, name="proj")(x1, x2)
+
+        hidden_states = hidden_states + fused
+        shift_mlp, scale_mlp, gate_mlp = AdaLN(
+            self.dim, 3, dtype=self.dtype, name="adaLN_modulation")(c)
+        normed = Norm(rms=self.rms_norm, eps=self.norm_eps, name="norm_2")(
+            hidden_states, prenorm=False)
+        mlp_cls = GatedMLP if self.use_gated_mlp else Mlp
+        hidden_states = hidden_states + gate_mlp[:, None, :] * mlp_cls(
+            4 * self.dim, act=gelu_tanh, dtype=self.dtype, name="mlp")(
+            modulate(normed, shift_mlp, scale_mlp))
+        return hidden_states, residual

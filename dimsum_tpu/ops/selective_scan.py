@@ -1,0 +1,409 @@
+"""TPU-native selective scan (Mamba S6 recurrence).
+
+Computes, per batch b and channel d, the first-order linear recurrence
+
+    dt      = softplus(delta + delta_bias)                  (optional)
+    a_t     = exp(dt_t * A)                  (d_state-dim decay,  A < 0)
+    h_t     = a_t * h_{t-1} + dt_t * u_t * B_t
+    y_t     = <C_t, h_t> + D * u_t
+    out_t   = y_t * silu(z_t)                               (optional gate)
+
+Semantics follow the reference CUDA extension's `selective_scan_fn`
+(`/root/reference/mamba/mamba_ssm/ops/selective_scan_interface.py:94` and the
+pure-torch oracle `selective_scan_ref:104`), but the layout is TPU-native:
+
+  u, delta, z : (batch, seqlen, dim)      -- dim on the 128-wide lane axis
+  B, C        : (batch, seqlen, d_state)  -- input-dependent (the only mode
+                                             DiMSUM uses)
+  A           : (dim, d_state)
+  D, delta_bias : (dim,)
+
+(The reference uses (batch, dim, seqlen); we keep channels innermost so the
+surrounding projections are plain MXU matmuls with no transposes.)
+
+Three implementations:
+  * `selective_scan_ref`    : sequential `lax.scan` in fp32 -- the oracle.
+  * `selective_scan_xla`    : `lax.associative_scan` -- differentiable,
+                              runs anywhere, O(log L) depth.
+  * `selective_scan_pallas` : fused Pallas TPU kernel; discretization,
+                              scan, C-contraction, D-skip and silu(z) gate all
+                              happen in VMEM so the (B, L, D, N) intermediates
+                              never touch HBM. Backward falls back to the XLA
+                              formulation via `jax.vjp` (fused reverse-scan
+                              kernel is a planned optimization).
+
+The reference's `_cond` variants (`mamba_inner_fn_cond`) pass an
+`init_states` tensor that the shipped CUDA kernel ignores (see
+`/root/reference/causal-conv1d/csrc/causal_conv1d.cpp:128-140`, where all cond
+pointers are commented out). We therefore do NOT model an initial state in the
+default path; `h0` exists as an explicit opt-in extension.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "selective_scan",
+    "selective_scan_ref",
+    "selective_scan_xla",
+    "selective_scan_pallas",
+]
+
+
+def _prep(u, delta, A, B, C, D, z, delta_bias, delta_softplus):
+    """Common fp32 preprocessing: bias + softplus on delta."""
+    dt = delta.astype(jnp.float32)
+    if delta_bias is not None:
+        dt = dt + delta_bias.astype(jnp.float32)[None, None, :]
+    if delta_softplus:
+        dt = jax.nn.softplus(dt)
+    return dt
+
+
+def selective_scan_ref(
+    u, delta, A, B, C, D=None, z=None, delta_bias=None, delta_softplus=False,
+    return_last_state=False,
+):
+    """Sequential fp32 oracle (mirrors reference selective_scan_ref)."""
+    dtype_in = u.dtype
+    batch, seqlen, dim = u.shape
+    dstate = A.shape[1]
+    uf = u.astype(jnp.float32)
+    dt = _prep(u, delta, A, B, C, D, z, delta_bias, delta_softplus)
+    Af = A.astype(jnp.float32)
+    Bf = B.astype(jnp.float32)
+    Cf = C.astype(jnp.float32)
+
+    deltaA = jnp.exp(jnp.einsum("bld,dn->bldn", dt, Af))
+    deltaB_u = jnp.einsum("bld,bln,bld->bldn", dt, Bf, uf)
+
+    def step(h, inputs):
+        a_t, x_t, c_t = inputs
+        h = a_t * h + x_t
+        y = jnp.einsum("bdn,bn->bd", h, c_t)
+        return h, y
+
+    h0 = jnp.zeros((batch, dim, dstate), jnp.float32)
+    # scan over L: move L to leading axis
+    last_state, ys = lax.scan(
+        step,
+        h0,
+        (
+            jnp.moveaxis(deltaA, 1, 0),
+            jnp.moveaxis(deltaB_u, 1, 0),
+            jnp.moveaxis(Cf, 1, 0),
+        ),
+    )
+    y = jnp.moveaxis(ys, 0, 1)  # (B, L, D)
+    out = y if D is None else y + uf * D.astype(jnp.float32)[None, None, :]
+    if z is not None:
+        zf = z.astype(jnp.float32)
+        out = out * (zf * jax.nn.sigmoid(zf))
+    out = out.astype(dtype_in)
+    return (out, last_state) if return_last_state else out
+
+
+def selective_scan_xla(
+    u, delta, A, B, C, D=None, z=None, delta_bias=None, delta_softplus=False,
+    return_last_state=False, h0=None,
+):
+    """`lax.associative_scan` implementation (differentiable, portable)."""
+    dtype_in = u.dtype
+    uf = u.astype(jnp.float32)
+    dt = _prep(u, delta, A, B, C, D, z, delta_bias, delta_softplus)
+    Af = A.astype(jnp.float32)
+    Bf = B.astype(jnp.float32)
+    Cf = C.astype(jnp.float32)
+
+    a = jnp.exp(jnp.einsum("bld,dn->bldn", dt, Af))
+    x = (dt * uf)[..., None] * Bf[:, :, None, :]  # (B, L, D, N)
+
+    def combine(left, right):
+        a_l, x_l = left
+        a_r, x_r = right
+        return a_r * a_l, a_r * x_l + x_r
+
+    a_cum, h = lax.associative_scan(combine, (a, x), axis=1)
+    if h0 is not None:
+        h = h + a_cum * h0[:, None].astype(jnp.float32)
+    y = jnp.einsum("bldn,bln->bld", h, Cf)
+    out = y if D is None else y + uf * D.astype(jnp.float32)[None, None, :]
+    if z is not None:
+        zf = z.astype(jnp.float32)
+        out = out * (zf * jax.nn.sigmoid(zf))
+    out = out.astype(dtype_in)
+    return (out, h[:, -1]) if return_last_state else out
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused kernel
+# ---------------------------------------------------------------------------
+
+
+def _scan_kernel(
+    # refs (block views)
+    u_ref, dt_ref, A_ref, B_ref, C_ref, D_ref, bias_ref, z_ref, out_ref,
+    # scratch
+    h_ref,
+    *,
+    n_state: int,
+    chunk: int,
+    d_block: int,
+    delta_softplus: bool,
+    has_z: bool,
+    has_d: bool,
+    has_bias: bool,
+    out_dtype,
+):
+    l_idx = pl.program_id(2)
+
+    @pl.when(l_idx == 0)
+    def _reset():
+        h_ref[:] = jnp.zeros_like(h_ref)
+
+    f32 = jnp.float32
+    u = u_ref[0].astype(f32)        # (chunk, d_block)
+    dt = dt_ref[0].astype(f32)      # (chunk, d_block)
+    if has_bias:
+        dt = dt + bias_ref[0][None, :].astype(f32)
+    if delta_softplus:
+        dt = jax.nn.softplus(dt)
+    A = A_ref[:].astype(f32)        # (d_block, n_state)
+    Bm = B_ref[0].astype(f32)       # (chunk, n_state)
+    Cm = C_ref[0].astype(f32)       # (chunk, n_state)
+
+    rows = chunk * n_state
+    # Row-major (t, n) layout on the sublane axis, channels on lanes.
+    a = jnp.exp(
+        (dt[:, None, :] * A.T[None, :, :]).reshape(rows, d_block)
+    )
+    x = ((dt * u)[:, None, :] * Bm[:, :, None]).reshape(rows, d_block)
+
+    # Inclusive Blelloch-style doubling scan over timesteps (row blocks of
+    # n_state). All shifts are static slices; log2(chunk) steps.
+    k = 1
+    while k < chunk:
+        sh = k * n_state
+        a_prev = jnp.concatenate(
+            [jnp.ones((sh, d_block), f32), a[: rows - sh]], axis=0
+        )
+        x_prev = jnp.concatenate(
+            [jnp.zeros((sh, d_block), f32), x[: rows - sh]], axis=0
+        )
+        x = x + a * x_prev
+        a = a * a_prev
+        k *= 2
+
+    # Fold in the carried state from previous chunks: h_t += (prod a) * h0.
+    h0 = h_ref[:]  # (n_state, d_block)
+    h = x + a * jnp.tile(h0, (chunk, 1))
+    h_ref[:] = h[rows - n_state :, :]
+
+    y = (h.reshape(chunk, n_state, d_block) * Cm[:, :, None]).sum(axis=1)
+    if has_d:
+        y = y + u * D_ref[0][None, :].astype(f32)
+    if has_z:
+        zf = z_ref[0].astype(f32)
+        y = y * (zf * jax.nn.sigmoid(zf))
+    out_ref[0] = y.astype(out_dtype)
+
+
+def _pick_blocks(seqlen: int, dim: int):
+    """Choose (chunk, d_block) so chunk divides L and d_block divides dim."""
+    # Keep (chunk * n_state, d_block) fp32 scan arrays comfortably in VMEM:
+    # 128 lanes x 256*16 sublanes x 4B = 2 MiB per array.
+    d_block = dim
+    for cand in (128, 256, 512):
+        if dim % cand == 0:
+            d_block = cand
+            break
+    else:
+        if dim > 512:
+            d_block = -1  # caller must pad
+    chunk = min(seqlen, 256)
+    while seqlen % chunk != 0:
+        chunk //= 2
+    return chunk, d_block
+
+
+def _selective_scan_pallas_fwd_impl(
+    u, delta, A, B, C, D, z, delta_bias, delta_softplus,
+):
+    batch, seqlen, dim = u.shape
+    n_state = A.shape[1]
+    chunk, d_block = _pick_blocks(seqlen, dim)
+    if d_block <= 0 or chunk < 1 or n_state % 8 != 0:
+        raise ValueError("unsupported shape for pallas selective scan")
+
+    has_z = z is not None
+    has_d = D is not None
+    has_bias = delta_bias is not None
+    # Pallas wants concrete arrays; use harmless placeholders for absent
+    # optionals (they are never read thanks to the static flags).
+    D_in = (D if has_d else jnp.zeros((dim,), jnp.float32)).reshape(1, dim)
+    bias_in = (
+        delta_bias if has_bias else jnp.zeros((dim,), jnp.float32)
+    ).reshape(1, dim)
+    z_in = z if has_z else u  # placeholder, never read
+
+    grid = (batch, dim // d_block, seqlen // chunk)
+
+    kernel = functools.partial(
+        _scan_kernel,
+        n_state=n_state,
+        chunk=chunk,
+        d_block=d_block,
+        delta_softplus=delta_softplus,
+        has_z=has_z,
+        has_d=has_d,
+        has_bias=has_bias,
+        out_dtype=u.dtype,
+    )
+
+    bld_spec = pl.BlockSpec(
+        (1, chunk, d_block), lambda b, d, l: (b, l, d),
+        memory_space=pltpu.VMEM,
+    )
+    bln_spec = pl.BlockSpec(
+        (1, chunk, n_state), lambda b, d, l: (b, l, 0),
+        memory_space=pltpu.VMEM,
+    )
+    dn_spec = pl.BlockSpec(
+        (d_block, n_state), lambda b, d, l: (d, 0), memory_space=pltpu.VMEM
+    )
+    vec_spec = pl.BlockSpec(
+        (1, d_block), lambda b, d, l: (0, d), memory_space=pltpu.VMEM
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            bld_spec,  # u
+            bld_spec,  # delta
+            dn_spec,   # A
+            bln_spec,  # B
+            bln_spec,  # C
+            vec_spec,  # D
+            vec_spec,  # delta_bias
+            bld_spec,  # z
+        ],
+        out_specs=bld_spec,
+        out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
+        scratch_shapes=[pltpu.VMEM((n_state, d_block), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(u, delta, A, B, C, D_in, bias_in, z_in)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def _selective_scan_pallas(u, delta, A, B, C, D, z, delta_bias, delta_softplus):
+    return _selective_scan_pallas_fwd_impl(
+        u, delta, A, B, C, D, z, delta_bias, delta_softplus
+    )
+
+
+def _pallas_fwd(u, delta, A, B, C, D, z, delta_bias, delta_softplus):
+    out = _selective_scan_pallas_fwd_impl(
+        u, delta, A, B, C, D, z, delta_bias, delta_softplus
+    )
+    return out, (u, delta, A, B, C, D, z, delta_bias)
+
+
+def _pallas_bwd(delta_softplus, res, g):
+    u, delta, A, B, C, D, z, delta_bias = res
+
+    # Differentiate only w.r.t. the present inputs; absent optionals get None.
+    present = [x for x in (u, delta, A, B, C, D, z, delta_bias) if x is not None]
+    mask = [x is not None for x in (u, delta, A, B, C, D, z, delta_bias)]
+
+    def f(*args):
+        it = iter(args)
+        full = [next(it) if m else None for m in mask]
+        return selective_scan_xla(*full, delta_softplus=delta_softplus)
+
+    _, vjp = jax.vjp(f, *present)
+    grads_present = vjp(g)
+    it = iter(grads_present)
+    return tuple(next(it) if m else None for m in mask)
+
+
+_selective_scan_pallas.defvjp(_pallas_fwd, _pallas_bwd)
+
+
+def selective_scan_pallas(
+    u, delta, A, B, C, D=None, z=None, delta_bias=None, delta_softplus=False,
+    return_last_state=False,
+):
+    if return_last_state:
+        return selective_scan_xla(
+            u, delta, A, B, C, D, z, delta_bias, delta_softplus,
+            return_last_state=True,
+        )
+    return _selective_scan_pallas(
+        u, delta, A, B, C, D, z, delta_bias, delta_softplus
+    )
+
+
+def _pallas_supported(u, A) -> bool:
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    batch, seqlen, dim = u.shape
+    n_state = A.shape[1]
+    chunk, d_block = _pick_blocks(seqlen, dim)
+    return d_block > 0 and n_state % 8 == 0 and seqlen % chunk == 0
+
+
+def selective_scan(
+    u, delta, A, B, C, D=None, z=None, delta_bias=None, delta_softplus=False,
+    return_last_state=False, impl: Optional[str] = None,
+):
+    """Dispatching front-end.  impl in {None, 'ref', 'xla', 'pallas'}."""
+    if impl is None:
+        impl = "pallas" if _pallas_supported(u, A) else "xla"
+    if impl == "ref":
+        fn = selective_scan_ref
+    elif impl == "xla":
+        fn = selective_scan_xla
+    elif impl == "pallas":
+        fn = selective_scan_pallas
+    else:
+        raise ValueError(f"unknown selective_scan impl: {impl}")
+    return fn(
+        u, delta, A, B, C, D=D, z=z, delta_bias=delta_bias,
+        delta_softplus=delta_softplus, return_last_state=return_last_state,
+    )
+
+
+def selective_state_update(state, x, dt, A, B, C, D=None, z=None,
+                           dt_bias=None, dt_softplus=False):
+    """Single-token decode step (reference: triton selective_state_update).
+
+    state: (batch, dim, d_state); x, dt, z: (batch, dim); B, C: (batch, d_state)
+    Returns (y, new_state).
+    """
+    f32 = jnp.float32
+    dtf = dt.astype(f32)
+    if dt_bias is not None:
+        dtf = dtf + dt_bias.astype(f32)[None, :]
+    if dt_softplus:
+        dtf = jax.nn.softplus(dtf)
+    dA = jnp.exp(dtf[..., None] * A.astype(f32)[None, :, :])
+    dB = dtf[..., None] * B.astype(f32)[:, None, :]
+    new_state = state.astype(f32) * dA + x.astype(f32)[..., None] * dB
+    y = jnp.einsum("bdn,bn->bd", new_state, C.astype(f32))
+    if D is not None:
+        y = y + D.astype(f32)[None, :] * x.astype(f32)
+    if z is not None:
+        zf = z.astype(f32)
+        y = y * (zf * jax.nn.sigmoid(zf))
+    return y.astype(x.dtype), new_state.astype(state.dtype)
