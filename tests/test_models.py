@@ -1,0 +1,216 @@
+"""Model-layer tests: shapes, param structure, block behaviors, CFG."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from dimsum_tpu.models.dim import DiM, DiMConfig, forward_with_cfg
+from dimsum_tpu.models.dit import DiT, DiTConfig
+from dimsum_tpu.models.mamba import Mamba
+from dimsum_tpu.models.blocks import (
+    DiMBlockCombined, MixerBlockCore, WaveDiMBlock, DCTBlock, EinFFT,
+    SwitchMLP, DiTBlock,
+)
+
+
+def small_dim_cfg(**kw):
+    base = dict(
+        img_resolution=16, patch_size=2, in_channels=4, hidden_size=64,
+        depth=2, num_classes=10, label_dropout=0.1, rms_norm=True,
+        block_type="combined", cond_mamba=True, learnable_pe=True,
+        use_attn_every_k_layers=2, scan_impl="xla",
+    )
+    base.update(kw)
+    return DiMConfig(**base)
+
+
+def test_mamba_mixer_shapes_and_params():
+    m = Mamba(d_model=32, layer_idx=0, d_cond=64, scan_impl="xla")
+    x = jnp.ones((2, 16, 32))
+    params = m.init(jax.random.PRNGKey(0), x, jnp.ones((2, 64)))
+    y = m.apply(params, x, jnp.ones((2, 64)))
+    assert y.shape == (2, 16, 32)
+    p = params["params"]
+    # reference parameter surface (mamba_simple.py): in/x/dt/out projections,
+    # conv, A_log, D, cond_proj
+    for key in ("in_proj", "x_proj", "out_proj", "cond_proj"):
+        assert key in p, p.keys()
+    for key in ("conv1d_kernel", "conv1d_bias", "dt_proj_kernel",
+                "dt_proj_bias", "A_log", "D"):
+        assert key in p, p.keys()
+    assert p["A_log"].shape == (64, 16)
+    assert p["conv1d_kernel"].shape == (64, 4)
+    # dt bias init: softplus(bias) within [dt_min, dt_max] (up to floor)
+    sp = np.logaddexp(0, np.asarray(p["dt_proj_bias"]))
+    assert sp.min() >= 1e-4 - 1e-6 and sp.max() <= 0.1 + 1e-4
+
+
+def test_mamba_v2_bidirectional():
+    m = Mamba(d_model=32, layer_idx=0, scan_type="v2", scan_impl="xla")
+    x = jnp.ones((2, 16, 32))
+    params = m.init(jax.random.PRNGKey(0), x)
+    p = params["params"]
+    for key in ("A_b_log", "conv1d_b_kernel", "x_proj_b", "dt_proj_b_kernel",
+                "D_b"):
+        assert key in p, p.keys()
+    y = m.apply(params, x)
+    assert y.shape == (2, 16, 32)
+
+
+def test_mamba_zigzag_permutation_roundtrip():
+    """With zero A (identity-ish scan) output must not depend on... instead
+    just check shape + determinism with paths applied."""
+    from dimsum_tpu.ops.scan_orders import SCAN_ZOO, reverse_permut_np
+    paths = np.stack(SCAN_ZOO["zigma"](4)[:2])
+    revs = np.stack([reverse_permut_np(p) for p in paths])
+    m = Mamba(d_model=8, layer_idx=1, scan_type="zigma_2", scan_impl="xla",
+              zigzag_paths=paths, zigzag_paths_reverse=revs)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 8))
+    params = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(params, x)
+    assert y.shape == x.shape
+
+
+def test_cond_proj_is_dead_by_default():
+    """cond_proj params must exist but not affect the output (reference fast
+    path behavior, SURVEY.md 2.1)."""
+    m = Mamba(d_model=16, layer_idx=0, d_cond=32, scan_impl="xla")
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 16))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (2, 32))
+    params = m.init(jax.random.PRNGKey(0), x, cond)
+    y1 = m.apply(params, x, cond)
+    y2 = m.apply(params, x, 100.0 + cond)
+    np.testing.assert_allclose(y1, y2, rtol=0, atol=0)
+    assert "cond_proj" in params["params"]
+
+
+def test_combined_block_forward():
+    blk = DiMBlockCombined(dim=64, mixer_kwargs=dict(scan_impl="xla"),
+                           rms_norm=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64))
+    c = jax.random.normal(jax.random.PRNGKey(1), (2, 64))
+    params = blk.init(jax.random.PRNGKey(2), x, None, c)
+    y, res = blk.apply(params, x, None, c)
+    assert y.shape == x.shape
+    np.testing.assert_allclose(res, x, rtol=1e-6)  # first block residual = x
+    # adaLN zero-init => FFN contributes nothing at init
+    p = params["params"]
+    assert np.all(np.asarray(p["adaLN_modulation"]["fc"]["kernel"]) == 0)
+
+
+def test_combined_block_freq_variants():
+    for variant, extra in [("dct", dict(mixer_kwargs_2=dict(scan_impl="xla"))),
+                           ("einfft", {})]:
+        blk = DiMBlockCombined(dim=32, mixer_kwargs=dict(scan_impl="xla"),
+                               freq_variant=variant, **extra)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 32))
+        c = jax.random.normal(jax.random.PRNGKey(1), (1, 32))
+        params = blk.init(jax.random.PRNGKey(2), x, None, c)
+        y, _ = blk.apply(params, x, None, c)
+        assert y.shape == x.shape
+
+
+def test_switch_mlp_top1():
+    m = SwitchMLP(dim=16, num_moe_experts=4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 16))
+    params = m.init(jax.random.PRNGKey(1), x)
+    y = m.apply(params, x)
+    assert y.shape == x.shape
+    assert "local_experts_3" in params["params"]
+
+
+def test_dim_forward_and_cfg():
+    cfg = small_dim_cfg()
+    model = DiM(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 16, 16))
+    t = jnp.array([0.3, 0.7])
+    y = jnp.array([1, 2])
+    params = model.init(jax.random.PRNGKey(1), x, t, y)
+    out = model.apply(params, x, t, y)
+    assert out.shape == (2, 4, 16, 16)
+    # at init, adaLN-zero + zero final layer => output is exactly zero
+    np.testing.assert_allclose(out, 0.0, atol=0)
+
+    # CFG wrapper: doubled batch, guidance on in_channels
+    out_cfg = forward_with_cfg(model.apply, params, x, t, y, cfg_scale=2.0,
+                               in_channels=4)
+    assert out_cfg.shape == x.shape
+    half = np.asarray(out_cfg)[:1]
+    np.testing.assert_allclose(np.asarray(out_cfg)[1:], half, rtol=1e-6)
+
+
+def test_dim_label_dropout_needs_rng():
+    cfg = small_dim_cfg()
+    model = DiM(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 4, 16, 16))
+    t = jnp.full((4,), 0.5)
+    y = jnp.array([1, 2, 3, 4])
+    params = model.init(jax.random.PRNGKey(1), x, t, y)
+    out = model.apply(params, x, t, y, train=True,
+                      rngs={"label_dropout": jax.random.PRNGKey(7)})
+    assert out.shape == x.shape
+
+
+@pytest.mark.parametrize("block_type", ["linear", "raw", "wave", "window"])
+def test_dim_block_types(block_type):
+    cfg = small_dim_cfg(block_type=block_type, use_attn_every_k_layers=-1,
+                        depth=1)
+    model = DiM(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 16, 16))
+    t = jnp.array([0.5])
+    params = model.init(jax.random.PRNGKey(1), x, t, jnp.array([0]))
+    out = model.apply(params, x, t, jnp.array([0]))
+    assert out.shape == x.shape
+
+
+def test_dim_moe_and_zigzag():
+    cfg = small_dim_cfg(is_moe=True, depth=2, scan_type="zigma_2",
+                        block_type="linear", use_attn_every_k_layers=-1)
+    model = DiM(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 16, 16))
+    params = model.init(jax.random.PRNGKey(1), x, jnp.array([0.5]),
+                        jnp.array([0]))
+    assert "blocks_1" in params["params"]
+    out = model.apply(params, x, jnp.array([0.5]), jnp.array([0]))
+    assert out.shape == x.shape
+
+
+def test_dim_rope_and_final_norm():
+    cfg = small_dim_cfg(pe_type="rope", use_final_norm=True)
+    model = DiM(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 16, 16))
+    params = model.init(jax.random.PRNGKey(1), x, jnp.array([0.5]),
+                        jnp.array([0]))
+    out = model.apply(params, x, jnp.array([0.5]), jnp.array([0]))
+    assert out.shape == x.shape
+
+
+def test_dit_forward():
+    cfg = DiTConfig(img_resolution=16, patch_size=2, hidden_size=64,
+                    depth=2, num_heads=4, num_classes=10)
+    model = DiT(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 16, 16))
+    params = model.init(jax.random.PRNGKey(1), x, jnp.array([0.1, 0.9]),
+                        jnp.array([0, 1]))
+    out = model.apply(params, x, jnp.array([0.1, 0.9]), jnp.array([0, 1]))
+    assert out.shape == x.shape
+    np.testing.assert_allclose(out, 0.0, atol=0)  # adaLN-zero init
+
+
+def test_dim_l2_param_count():
+    """DiM-L/2 combined should land at ~460M params (reference README)."""
+    cfg = DiMConfig(
+        img_resolution=32, patch_size=2, hidden_size=1024, depth=16,
+        num_classes=1000, rms_norm=True, block_type="combined",
+        cond_mamba=True, learnable_pe=True, use_attn_every_k_layers=4,
+        scan_impl="xla",
+    )
+    model = DiM(cfg)
+    x = jnp.zeros((1, 4, 32, 32))
+    params = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,)),
+                           jnp.zeros((1,), jnp.int32)))
+    n = sum(int(np.prod(v.shape)) for v in
+            jax.tree.leaves(params))
+    assert 430e6 < n < 490e6, f"param count {n/1e6:.1f}M"
