@@ -1,0 +1,103 @@
+"""Headline benchmark: images/sec/chip for 250-step ImageNet-256 sampling
+with DiM-L/2 "combined" (460M) + CFG, the reference's eval protocol
+(scripts/eval.sh: 250 steps, GVP, velocity, cfg on a doubled batch).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "img/s/chip", "vs_baseline": N}
+
+vs_baseline is measured throughput divided by an estimated A100 reference
+throughput for the same protocol (no throughput number is published in the
+reference repo; see BASELINE.md).  Estimate: ~470 GFLOPs per CFG-doubled
+model eval * 250 steps ~= 118 TFLOPs/image; A100 bf16 at a generous 40%
+MFU ~= 125 TFLOP/s => ~1.05 img/s.  We round to 1.0 img/s/GPU.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+A100_BASELINE_IMG_PER_SEC = 1.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16,
+                    help="images per chip (CFG doubles the model batch)")
+    ap.add_argument("--steps", type=int, default=250)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--quick", action="store_true",
+                    help="tiny model smoke mode")
+    ap.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
+    args = ap.parse_args()
+
+    from dimsum_tpu.models.dim import DiM, DiMConfig
+    from dimsum_tpu.transport import Sampler, create_transport
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    if args.quick:
+        cfg = DiMConfig(img_resolution=32, patch_size=2, hidden_size=256,
+                        depth=4, num_classes=1000, rms_norm=True,
+                        block_type="combined", cond_mamba=True,
+                        learnable_pe=True, use_attn_every_k_layers=4,
+                        dtype=dtype)
+    else:
+        cfg = DiMConfig(img_resolution=32, patch_size=2, hidden_size=1024,
+                        depth=16, num_classes=1000, rms_norm=True,
+                        block_type="combined", cond_mamba=True,
+                        learnable_pe=True, use_attn_every_k_layers=4,
+                        dtype=dtype)
+    model = DiM(cfg)
+
+    n = args.batch
+    rng = jax.random.PRNGKey(0)
+    z = jax.random.normal(rng, (n, 4, 32, 32), jnp.float32)
+    z = jnp.concatenate([z, z], axis=0)  # CFG batch doubling
+    y = jnp.concatenate([
+        jax.random.randint(rng, (n,), 0, cfg.num_classes),
+        jnp.full((n,), cfg.num_classes),
+    ]).astype(jnp.int32)
+    t0v = jnp.zeros((2 * n,), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), z, t0v, y)
+
+    transport = create_transport("GVP", "velocity")
+    sampler = Sampler(transport)
+    sample_fn = sampler.sample_ode(sampling_method="euler",
+                                   num_steps=args.steps)
+
+    from dimsum_tpu.models.dim import forward_with_cfg
+
+    def model_fn(x, t, y=None):
+        return forward_with_cfg(model.apply, params, x, t, y,
+                                cfg_scale=1.4, in_channels=cfg.in_channels)
+
+    @jax.jit
+    def run(z, y):
+        return sample_fn(z, lambda x, t, **kw: model_fn(x, t, **kw), y=y)
+
+    # compile + warmup (forces full completion via host transfer)
+    out = run(z, y)
+    np.asarray(out)
+
+    t_start = time.perf_counter()
+    for _ in range(args.iters):
+        out = run(z, y)
+    np.asarray(out)  # sync
+    dt = (time.perf_counter() - t_start) / args.iters
+
+    imgs_per_sec = n / dt
+    print(json.dumps({
+        "metric": "imagenet256_sampling_throughput_250step_cfg",
+        "value": round(imgs_per_sec, 4),
+        "unit": "img/s/chip",
+        "vs_baseline": round(imgs_per_sec / A100_BASELINE_IMG_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

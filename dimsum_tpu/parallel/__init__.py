@@ -1,0 +1,18 @@
+"""Mesh construction and sharded train/sample steps."""
+
+from dimsum_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    data_sharding,
+    replicated,
+    tp_param_specs,
+    tp_shardings,
+)
+from dimsum_tpu.parallel.train import (  # noqa: F401
+    TrainState,
+    create_optimizer,
+    create_train_state,
+    ema_update,
+    clip_by_global_norm,
+    make_train_step,
+    make_sample_step,
+)

@@ -1,0 +1,89 @@
+"""Device mesh construction and sharding rules.
+
+The reference's only distribution strategy is DDP over NCCL
+(`/root/reference/dimsum/train.py:145,180`).  The TPU-native equivalents:
+
+  * data parallelism: a 1-D "data" mesh axis; the train/sample step runs
+    under `shard_map` so the Pallas kernels stay single-device-local and
+    gradients are reduced with one `psum` over ICI.
+  * tensor parallelism (optional, not needed for 460M parity): a "model"
+    axis with GSPMD parameter annotations; XLA inserts the collectives.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: Optional[int] = None, model: int = 1,
+              devices=None) -> Mesh:
+    """Build a (data, model) mesh.  data=None uses all remaining devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data is None:
+        data = n // model
+    assert data * model == n, f"{data}x{model} != {n} devices"
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, axis_names=("data", "model"))
+
+
+def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data'."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel parameter rules (GSPMD path)
+# ---------------------------------------------------------------------------
+
+# path-regex -> PartitionSpec. Column-parallel projections shard the output
+# feature dim; row-parallel shard the input dim (their matmuls then reduce
+# over 'model' via an XLA-inserted psum).
+_TP_RULES = [
+    (r".*in_proj.*kernel", P(None, "model")),
+    (r".*(x_proj|out_proj).*kernel", P("model", None)),
+    (r".*conv1d.*kernel", P("model", None)),
+    (r".*dt_proj.*kernel", P(None, "model")),
+    (r".*dt_proj.*bias", P("model")),
+    (r".*A(_b)?_log", P("model", None)),
+    (r".*D(_b)?$", P("model")),
+    (r".*w12.*kernel", P(None, "model")),
+    (r".*w3.*kernel", P("model", None)),
+    (r".*(qkv|qkv1|qkv2).*kernel", P(None, "model")),
+    (r".*linear_fc1.*kernel", P(None, "model")),
+    (r".*linear_fc2.*kernel", P("model", None)),
+]
+
+
+def tp_param_specs(params) -> Dict:
+    """PartitionSpec pytree for tensor-parallel parameter placement."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def spec_for(path):
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        for pattern, spec in _TP_RULES:
+            if re.match(pattern, name):
+                return spec
+        return P()
+
+    specs = {tuple(p): spec_for(p) for p, _ in flat}
+
+    def lookup(path, leaf):
+        return specs[tuple(path)]
+
+    return jax.tree_util.tree_map_with_path(lookup, params)
+
+
+def tp_shardings(mesh: Mesh, params):
+    return jax.tree.map(lambda spec: NamedSharding(mesh, spec),
+                        tp_param_specs(params),
+                        is_leaf=lambda x: isinstance(x, P))

@@ -1,0 +1,138 @@
+"""Sharded flow-matching train step: shard_map data parallelism with a single
+gradient psum over ICI, AdamW, grad clipping, and EMA.
+
+Reference semantics: `/root/reference/dimsum/train.py` -- AdamW(lr, wd=0)
+(:199-200), grad clip (:317), EMA decay 0.9999 (:55-64), per-rank seeds
+(:155).  DDP's implicit gradient allreduce becomes an explicit
+`lax.pmean` inside `shard_map`, which XLA fuses into the backward.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    ema_params: Any
+
+
+def create_optimizer(lr: float = 1e-4, weight_decay: float = 0.0,
+                     betas=(0.9, 0.999)) -> optax.GradientTransformation:
+    return optax.adamw(lr, b1=betas[0], b2=betas[1],
+                       weight_decay=weight_decay)
+
+
+def create_train_state(params, optimizer) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=optimizer.init(params),
+        ema_params=jax.tree.map(jnp.copy, params),
+    )
+
+
+def ema_update(ema_params, params, decay: float = 0.9999):
+    return jax.tree.map(lambda e, p: e * decay + p * (1.0 - decay),
+                        ema_params, params)
+
+
+def clip_by_global_norm(grads, max_norm: float):
+    norm = optax.global_norm(grads)
+    scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-12))
+    return jax.tree.map(lambda g: g * scale, grads), norm
+
+
+def make_train_step(
+    model,
+    transport,
+    optimizer: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+    max_grad_norm: float = 1.0,
+    ema_decay: float = 0.9999,
+    use_labels: bool = True,
+) -> Callable:
+    """Returns train_step(state, x, y, rng) -> (state, metrics), jitted and
+    (when a mesh is given) shard_mapped over the 'data' axis with replicated
+    parameters."""
+
+    def local_step(state: TrainState, x, y, rng):
+        if mesh is not None:
+            # distinct per-shard randomness; same params everywhere
+            rng = jax.random.fold_in(rng, lax.axis_index("data"))
+        rng_transport, rng_drop = jax.random.split(rng)
+
+        def loss_fn(params):
+            def model_fn(xt, t, **kw):
+                return model.apply(
+                    {"params": params}, xt, t, train=True,
+                    rngs={"label_dropout": rng_drop}, **kw)
+
+            kwargs = {"y": y} if use_labels else {}
+            terms = transport.training_losses(model_fn, rng_transport, x,
+                                              kwargs)
+            return terms["loss"].mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        if mesh is not None:
+            grads = lax.pmean(grads, "data")
+            loss = lax.pmean(loss, "data")
+        grads, grad_norm = clip_by_global_norm(grads, max_grad_norm)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema_params = ema_update(state.ema_params, params, ema_decay)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  opt_state=opt_state,
+                                  ema_params=ema_params)
+        return new_state, {"loss": loss, "grad_norm": grad_norm}
+
+    if mesh is None:
+        return jax.jit(local_step)
+
+    rep = P()
+    batch_spec = P("data")
+    mapped = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(rep, batch_spec, batch_spec, rep),
+        out_specs=(rep, rep),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def make_sample_step(model, sample_fn, mesh: Optional[Mesh] = None,
+                     use_ema: bool = True):
+    """Data-parallel sampling step: params replicated, noise batch sharded.
+
+    sample_fn(x, model_fn, rng) comes from transport.Sampler.
+    """
+
+    def local(params, z, y, rng):
+        def model_fn(xt, t, **kw):
+            return model.apply({"params": params}, xt, t, **kw)
+
+        return sample_fn(z, model_fn, rng=rng, y=y)
+
+    if mesh is None:
+        return jax.jit(local)
+
+    mapped = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P()),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
