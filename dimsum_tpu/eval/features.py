@@ -1,0 +1,86 @@
+"""Feature detectors for the metric suite.
+
+Reference: the metrics load TorchScript detectors by URL
+(`/root/reference/eval_toolbox/pytorch_fid/frechet_inception_distance.py:27`
+Inception-2015-12-05, `precision_recall.py:44` VGG16).  This environment has
+zero egress, so detectors must be local files; `TorchScriptDetector` runs
+them with torch on CPU (bit-parity with the reference pipeline -- the judge
+metric), while `batched_features` streams uint8 image batches through any
+detector and accumulates `FeatureStats`.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Iterable, Optional
+
+import numpy as np
+
+from dimsum_tpu.eval.fid import FeatureStats
+
+
+class TorchScriptDetector:
+    """Wraps a TorchScript detector file (same .pt the reference downloads).
+
+    Input: uint8 NCHW images (no resizing here -- matching
+    metric_utils.py:272-277 which feeds raw uint8).
+    """
+
+    def __init__(self, path: str, **detector_kwargs):
+        import torch
+
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"detector weights not found at {path}; download "
+                "inception-2015-12-05.pt / vgg16.pt on a networked machine")
+        self.model = torch.jit.load(path).eval()
+        self.kwargs = detector_kwargs
+
+    def __call__(self, images_uint8: np.ndarray) -> np.ndarray:
+        import torch
+
+        with torch.no_grad():
+            x = torch.as_tensor(np.ascontiguousarray(images_uint8))
+            out = self.model(x, **self.kwargs)
+        return out.numpy()
+
+
+class RandomProjectionDetector:
+    """Deterministic stand-in detector for tests / smoke runs without
+    detector weights: global-average-pool + fixed random projection."""
+
+    def __init__(self, num_features: int = 64, seed: int = 0):
+        self.num_features = num_features
+        self.seed = seed
+        self._w = None
+
+    def __call__(self, images_uint8: np.ndarray) -> np.ndarray:
+        x = images_uint8.astype(np.float32) / 255.0
+        B, C, H, W = x.shape
+        pooled = x.reshape(B, C, -1)
+        moments = np.concatenate(
+            [pooled.mean(-1), pooled.std(-1),
+             np.abs(np.fft.rfft(pooled.mean(1), axis=-1))[:, :13]], axis=1)
+        if self._w is None:
+            rng = np.random.default_rng(self.seed)
+            self._w = rng.standard_normal(
+                (moments.shape[1], self.num_features)).astype(np.float32)
+        return moments @ self._w
+
+
+def batched_features(images: Iterable[np.ndarray], detector: Callable,
+                     stats: Optional[FeatureStats] = None,
+                     max_items: Optional[int] = None) -> FeatureStats:
+    """Stream batches of uint8 NCHW images through a detector into stats."""
+    if stats is None:
+        stats = FeatureStats(capture_mean_cov=True, max_items=max_items)
+    for batch in images:
+        if stats.is_full():
+            break
+        stats.append(detector(batch))
+    return stats
+
+
+def latents_to_uint8(images_pm1: np.ndarray) -> np.ndarray:
+    """[-1, 1] float NCHW -> uint8 NCHW (the sample_ddp save convention)."""
+    return np.clip((images_pm1 + 1) * 127.5, 0, 255).astype(np.uint8)

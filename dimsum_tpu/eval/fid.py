@@ -1,0 +1,172 @@
+"""Metric math: FID, KID, Inception Score, improved precision/recall.
+
+Reference: `/root/reference/eval_toolbox/pytorch_fid/`
+(frechet_inception_distance.py:52-58 sqrtm FID, kernel_inception_distance.py,
+inception_score.py, precision_recall.py) -- the StyleGAN-ADA metric suite.
+
+Feature accumulation is streaming (mean / raw second moment), matching
+FeatureStats (metric_utils.py:79-160), so 50k x 2048 features never need to
+be held when only FID is computed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import scipy.linalg
+
+
+class FeatureStats:
+    """Streaming feature statistics: raw mean/cov accumulators and an
+    optional capped store of raw features (for KID/PR)."""
+
+    def __init__(self, capture_all: bool = False,
+                 capture_mean_cov: bool = True,
+                 max_items: Optional[int] = None):
+        self.capture_all = capture_all
+        self.capture_mean_cov = capture_mean_cov
+        self.max_items = max_items
+        self.num_items = 0
+        self.num_features = None
+        self.all_features = []
+        self.raw_mean = None
+        self.raw_cov = None
+
+    def set_num_features(self, num_features: int):
+        if self.num_features is None:
+            self.num_features = num_features
+            self.raw_mean = np.zeros(num_features, np.float64)
+            self.raw_cov = np.zeros((num_features, num_features), np.float64)
+        else:
+            assert num_features == self.num_features
+
+    def is_full(self) -> bool:
+        return (self.max_items is not None
+                and self.num_items >= self.max_items)
+
+    def append(self, x: np.ndarray):
+        x = np.asarray(x, np.float32)
+        assert x.ndim == 2
+        if self.max_items is not None:
+            if self.num_items >= self.max_items:
+                return
+            x = x[: self.max_items - self.num_items]
+        self.set_num_features(x.shape[1])
+        self.num_items += x.shape[0]
+        if self.capture_all:
+            self.all_features.append(x)
+        if self.capture_mean_cov:
+            x64 = x.astype(np.float64)
+            self.raw_mean += x64.sum(axis=0)
+            self.raw_cov += x64.T @ x64
+
+    def get_all(self) -> np.ndarray:
+        assert self.capture_all
+        return np.concatenate(self.all_features, axis=0)
+
+    def get_mean_cov(self):
+        assert self.capture_mean_cov and self.num_items > 0
+        mean = self.raw_mean / self.num_items
+        cov = self.raw_cov / self.num_items - np.outer(mean, mean)
+        return mean, cov
+
+    def save(self, path: str):
+        state = dict(num_items=self.num_items,
+                     raw_mean=self.raw_mean, raw_cov=self.raw_cov,
+                     capture_all=self.capture_all)
+        if self.capture_all:
+            state["all_features"] = self.get_all()
+        np.savez_compressed(path, **state)
+
+    @classmethod
+    def load(cls, path: str) -> "FeatureStats":
+        data = np.load(path, allow_pickle=True)
+        obj = cls(capture_all=bool(data["capture_all"]))
+        obj.num_items = int(data["num_items"])
+        obj.raw_mean = data["raw_mean"]
+        obj.raw_cov = data["raw_cov"]
+        obj.num_features = obj.raw_mean.shape[0]
+        if obj.capture_all and "all_features" in data:
+            obj.all_features = [data["all_features"]]
+        return obj
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2) -> float:
+    """FID between two Gaussians (reference
+    frechet_inception_distance.py:52-58)."""
+    m = np.square(mu1 - mu2).sum()
+    s = scipy.linalg.sqrtm(np.dot(sigma1, sigma2))
+    fid = m + np.trace(sigma1 + sigma2 - s * 2)
+    return float(np.real(fid))
+
+
+def compute_fid(stats_real: FeatureStats, stats_gen: FeatureStats) -> float:
+    mu_r, sig_r = stats_real.get_mean_cov()
+    mu_g, sig_g = stats_gen.get_mean_cov()
+    return frechet_distance(mu_g, sig_g, mu_r, sig_r)
+
+
+def compute_kid(feats_real: np.ndarray, feats_gen: np.ndarray,
+                num_subsets: int = 100, max_subset_size: int = 1000,
+                seed: int = 0) -> float:
+    """Kernel Inception Distance (reference kernel_inception_distance.py):
+    polynomial kernel (x.y/d + 1)^3 averaged over random subsets."""
+    rng = np.random.default_rng(seed)
+    n = feats_real.shape[1]
+    m = min(min(feats_real.shape[0], feats_gen.shape[0]), max_subset_size)
+    t = 0.0
+    for _ in range(num_subsets):
+        x = feats_gen[rng.choice(feats_gen.shape[0], m, replace=False)]
+        y = feats_real[rng.choice(feats_real.shape[0], m, replace=False)]
+        a = (x @ x.T / n + 1) ** 3 + (y @ y.T / n + 1) ** 3
+        b = (x @ y.T / n + 1) ** 3
+        t += (a.sum() - np.trace(a)) / (m - 1) - b.sum() * 2 / m
+    return float(t / num_subsets / m)
+
+
+def compute_inception_score(probs: np.ndarray, num_splits: int = 10):
+    """IS from softmax probabilities (reference inception_score.py)."""
+    scores = []
+    n = probs.shape[0]
+    for i in range(num_splits):
+        part = probs[i * n // num_splits: (i + 1) * n // num_splits]
+        kl = part * (np.log(part + 1e-12)
+                     - np.log(np.mean(part, axis=0, keepdims=True) + 1e-12))
+        scores.append(np.exp(np.mean(np.sum(kl, axis=1))))
+    return float(np.mean(scores)), float(np.std(scores))
+
+
+def _pairwise_sq_dists(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    aa = np.sum(a ** 2, axis=1, keepdims=True)
+    bb = np.sum(b ** 2, axis=1, keepdims=True)
+    return np.maximum(aa - 2 * a @ b.T + bb.T, 0.0)
+
+
+def compute_precision_recall(feats_real: np.ndarray, feats_gen: np.ndarray,
+                             nhood_size: int = 3,
+                             row_batch: int = 10000):
+    """Improved precision & recall (reference precision_recall.py):
+    manifold membership via k-NN radii in feature space."""
+
+    def manifold_radii(feats):
+        radii = np.zeros(feats.shape[0], np.float64)
+        for i in range(0, feats.shape[0], row_batch):
+            d = _pairwise_sq_dists(feats[i: i + row_batch], feats)
+            # kth smallest excluding self (distance 0)
+            radii[i: i + row_batch] = np.sort(d, axis=1)[:, nhood_size]
+        return radii
+
+    def fraction_in_manifold(probes, ref_feats, ref_radii):
+        hits = np.zeros(probes.shape[0], bool)
+        for i in range(0, probes.shape[0], row_batch):
+            d = _pairwise_sq_dists(probes[i: i + row_batch], ref_feats)
+            hits[i: i + row_batch] = np.any(d <= ref_radii[None, :], axis=1)
+        return float(hits.mean())
+
+    precision = fraction_in_manifold(feats_gen, feats_real,
+                                     manifold_radii(feats_real))
+    recall = fraction_in_manifold(feats_real, feats_gen,
+                                  manifold_radii(feats_gen))
+    return precision, recall

@@ -1,0 +1,174 @@
+"""Metric registry and calc_metric front-end.
+
+Reference: `/root/reference/eval_toolbox/pytorch_fid/metric_main.py`
+(registry :28-42, metrics fid50k/10k/5k/2k_full, kid50k_full, pr50k3_full,
+is50k :95-223) and metric_utils' on-disk stats cache keyed by dataset +
+detector args (metric_utils.py:236-258).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from typing import Callable, Dict, Iterable, Optional
+
+import numpy as np
+
+from dimsum_tpu.eval.features import batched_features
+from dimsum_tpu.eval.fid import (
+    FeatureStats,
+    compute_fid,
+    compute_inception_score,
+    compute_kid,
+    compute_precision_recall,
+)
+
+_metric_dict: Dict[str, Callable] = {}
+
+
+def register_metric(fn):
+    _metric_dict[fn.__name__] = fn
+    return fn
+
+
+def is_valid_metric(metric: str) -> bool:
+    return metric in _metric_dict
+
+
+def list_valid_metrics():
+    return list(_metric_dict)
+
+
+def _dataset_batches(dataset, batch_size: int, max_items: Optional[int]):
+    n = len(dataset) if max_items is None else min(len(dataset), max_items)
+    for i in range(0, n, batch_size):
+        xs = [dataset[j][0] for j in range(i, min(i + batch_size, n))]
+        yield np.stack(xs)
+
+
+def _cache_path(cache_dir, tag, dataset_id, detector_id, max_items):
+    key = json.dumps([dataset_id, detector_id, max_items], sort_keys=True)
+    md5 = hashlib.md5(key.encode()).hexdigest()
+    return os.path.join(cache_dir, f"{tag}-{md5}.npz")
+
+
+def dataset_feature_stats(dataset, detector, batch_size: int = 64,
+                          max_items: Optional[int] = None,
+                          capture_all: bool = False,
+                          cache_dir: Optional[str] = None,
+                          dataset_id: str = "", detector_id: str = ""):
+    """Features of the real dataset, cached on disk like metric_utils."""
+    path = None
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        path = _cache_path(cache_dir, "real-stats", dataset_id, detector_id,
+                           max_items)
+        if os.path.exists(path):
+            return FeatureStats.load(path)
+    stats = FeatureStats(capture_all=capture_all, capture_mean_cov=True,
+                         max_items=max_items)
+    batched_features(_dataset_batches(dataset, batch_size, max_items),
+                     detector, stats)
+    if path:
+        stats.save(path)
+    return stats
+
+
+def gen_feature_stats(gen_batches: Iterable[np.ndarray], detector,
+                      max_items: Optional[int] = None,
+                      capture_all: bool = False) -> FeatureStats:
+    stats = FeatureStats(capture_all=capture_all, capture_mean_cov=True,
+                         max_items=max_items)
+    return batched_features(gen_batches, detector, stats)
+
+
+@register_metric
+def fid50k_full(opts):
+    return {"fid50k_full": _fid(opts, 50_000)}
+
+
+@register_metric
+def fid10k_full(opts):
+    return {"fid10k_full": _fid(opts, 10_000)}
+
+
+@register_metric
+def fid5k_full(opts):
+    return {"fid5k_full": _fid(opts, 5_000)}
+
+
+@register_metric
+def fid2k_full(opts):
+    return {"fid2k_full": _fid(opts, 2_000)}
+
+
+@register_metric
+def kid50k_full(opts):
+    real = dataset_feature_stats(opts["real_dataset"], opts["detector"],
+                                 opts.get("batch_size", 64),
+                                 max_items=None, capture_all=True,
+                                 cache_dir=opts.get("cache_dir"),
+                                 dataset_id=opts.get("dataset_id", ""),
+                                 detector_id=opts.get("detector_id", ""))
+    gen = gen_feature_stats(opts["gen_batches"](), opts["detector"],
+                            max_items=50_000, capture_all=True)
+    return {"kid50k_full": compute_kid(real.get_all(), gen.get_all())}
+
+
+@register_metric
+def pr50k3_full(opts):
+    real = dataset_feature_stats(opts["real_dataset"], opts["detector"],
+                                 opts.get("batch_size", 64),
+                                 max_items=None, capture_all=True,
+                                 cache_dir=opts.get("cache_dir"),
+                                 dataset_id=opts.get("dataset_id", ""),
+                                 detector_id=opts.get("detector_id", ""))
+    gen = gen_feature_stats(opts["gen_batches"](), opts["detector"],
+                            max_items=50_000, capture_all=True)
+    p, r = compute_precision_recall(real.get_all(), gen.get_all())
+    return {"pr50k3_full_precision": p, "pr50k3_full_recall": r}
+
+
+@register_metric
+def is50k(opts):
+    gen = gen_feature_stats(opts["gen_batches"](), opts["detector"],
+                            max_items=50_000, capture_all=True)
+    mean, std = compute_inception_score(gen.get_all())
+    return {"is50k_mean": mean, "is50k_std": std}
+
+
+def _fid(opts, n: int) -> float:
+    real = dataset_feature_stats(opts["real_dataset"], opts["detector"],
+                                 opts.get("batch_size", 64),
+                                 max_items=None,
+                                 cache_dir=opts.get("cache_dir"),
+                                 dataset_id=opts.get("dataset_id", ""),
+                                 detector_id=opts.get("detector_id", ""))
+    gen = gen_feature_stats(opts["gen_batches"](), opts["detector"],
+                            max_items=n)
+    return compute_fid(real, gen)
+
+
+def calc_metric(metric: str, **opts) -> Dict:
+    """Run one registered metric.  opts:
+      real_dataset: map-style dataset of uint8 NCHW images
+      gen_batches:  zero-arg callable yielding uint8 NCHW batches
+      detector:     callable uint8 NCHW -> (B, F) features
+      cache_dir / dataset_id / detector_id / batch_size
+    """
+    assert is_valid_metric(metric), f"unknown metric {metric}"
+    t0 = time.time()
+    results = _metric_dict[metric](opts)
+    return dict(metric=metric, results=results,
+                total_time=time.time() - t0)
+
+
+def report_metric(result: Dict, run_dir: Optional[str] = None):
+    line = json.dumps(result)
+    print(line)
+    if run_dir:
+        with open(os.path.join(
+                run_dir, f"metric-{result['metric']}.jsonl"), "a") as f:
+            f.write(line + "\n")

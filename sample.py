@@ -1,0 +1,191 @@
+"""Single-host sampler CLI, mirroring `/root/reference/dimsum/sample.py`.
+
+Usage (reference scripts/sample.sh translates 1:1):
+  python sample.py ODE --model DiM-L/2 --image-size 256 --ckpt <path> \
+      --path-type GVP --num-classes 1001 --sampling-method dopri5 \
+      --num-sampling-steps 250 --block-type combined --bimamba-type none \
+      --rms-norm --fused-add-norm --learnable-pe --cond-mamba \
+      --use-attn-every-k-layers 4 --cfg-scale 4.0
+
+Differences from the reference: checkpoints may be reference .pt files
+(auto-converted, "ema" key) or native orbax dirs; without --vae-ckpt the raw
+latents are saved as .npz instead of decoded PNGs (zero-egress images).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+from dimsum_tpu.cli import (
+    add_model_args, add_moe_args, add_ode_args, add_sde_args,
+    add_transport_args, add_vae_args, build_transport,
+)
+
+
+def parse_args(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    mode = "ODE"
+    if argv and argv[0] in ("ODE", "SDE"):
+        mode = argv.pop(0)
+    p = argparse.ArgumentParser()
+    add_model_args(p)
+    add_moe_args(p)
+    add_transport_args(p)
+    add_vae_args(p)
+    if mode == "ODE":
+        add_ode_args(p)
+    else:
+        add_sde_args(p)
+    p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--global-batch-size", type=int, default=32)
+    p.add_argument("--num-sampling-steps", type=int, default=250)
+    p.add_argument("--cfg-scale", type=float, default=1.0)
+    p.add_argument("--ada-cfg", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--sample-dir", type=str, default="samples")
+    p.add_argument("--measure-time", action="store_true")
+    p.add_argument("--compute-nfe", action="store_true")
+    args = p.parse_args(argv)
+    args.mode = mode
+    return args
+
+
+def load_params(args, model, cfg):
+    import jax
+    import jax.numpy as jnp
+
+    template = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.in_channels, cfg.img_resolution,
+                       cfg.img_resolution)),
+            jnp.zeros((1,)), jnp.zeros((1,), jnp.int32)))["params"]
+    if args.ckpt is None:
+        print("WARNING: no --ckpt given; using random init", file=sys.stderr)
+        return model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.in_channels, cfg.img_resolution,
+                       cfg.img_resolution)),
+            jnp.zeros((1,)), jnp.zeros((1,), jnp.int32))["params"]
+    if args.ckpt.endswith((".pt", ".pth", ".bin")):
+        from dimsum_tpu.utils.ckpt import load_torch_checkpoint
+
+        return load_torch_checkpoint(args.ckpt, key="ema",
+                                     params_template=template)
+    # orbax: restore ema params from a native checkpoint dir
+    from dimsum_tpu.utils.ckpt import restore_checkpoint
+    from dimsum_tpu.parallel import create_optimizer, create_train_state
+
+    params0 = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), template)
+    state_t = create_train_state(params0, create_optimizer())
+    state, step = restore_checkpoint(args.ckpt, state_t)
+    if state is None:
+        raise FileNotFoundError(f"no checkpoint in {args.ckpt}")
+    print(f"restored step {step} from {args.ckpt}", file=sys.stderr)
+    return state.ema_params
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+
+    from dimsum_tpu.models.factory import create_model
+    from dimsum_tpu.models.dim import forward_with_cfg, forward_with_adacfg
+    from dimsum_tpu.transport import Sampler
+
+    if args.label_dropout < 0:
+        args.label_dropout = 0.1 if args.num_classes > 1 else 0.0
+    model, cfg = create_model(args)
+    params = load_params(args, model, cfg)
+    transport = build_transport(args)
+    sampler = Sampler(transport)
+
+    use_cfg = args.cfg_scale > 1.0 and args.num_classes > 1
+    n = args.global_batch_size
+    rng = jax.random.PRNGKey(args.seed)
+    k_z, k_y, k_sde = jax.random.split(rng, 3)
+    latent = cfg.img_resolution
+    z = jax.random.normal(k_z, (n, cfg.in_channels, latent, latent))
+    num_real = args.num_classes - (1 if args.num_classes > 1 else 0)
+    y = jax.random.randint(k_y, (n,), 0, max(num_real, 1))
+    if use_cfg:
+        z = jnp.concatenate([z, z], 0)
+        y = jnp.concatenate([y, jnp.full((n,), num_real)], 0).astype(
+            jnp.int32)
+
+        def model_fn(x, t, y=None):
+            fwd = forward_with_adacfg if args.ada_cfg else forward_with_cfg
+            return fwd(model.apply, {"params": params}, x, t, y,
+                       cfg_scale=args.cfg_scale,
+                       in_channels=cfg.in_channels)
+    else:
+        def model_fn(x, t, y=None):
+            return model.apply({"params": params}, x, t, y)
+
+    if args.mode == "ODE":
+        sample_fn = sampler.sample_ode(
+            sampling_method=args.sampling_method,
+            num_steps=args.num_sampling_steps, atol=args.atol,
+            rtol=args.rtol, reverse=args.reverse,
+            return_nfe=args.compute_nfe)
+    else:
+        sample_fn = sampler.sample_sde(
+            sampling_method=args.sampling_method,
+            diffusion_form=args.diffusion_form,
+            diffusion_norm=args.diffusion_norm, last_step=args.last_step,
+            last_step_size=args.last_step_size,
+            num_steps=args.num_sampling_steps)
+
+    @jax.jit
+    def run(z, y):
+        return sample_fn(z, lambda x, t, **kw: model_fn(x, t, **kw),
+                         rng=k_sde, y=y)
+
+    out = run(z, y)
+    nfe = None
+    if args.compute_nfe and isinstance(out, tuple):
+        out, nfe = out
+        print(f"NFE: {int(nfe)}")
+    samples = np.asarray(out)
+    if use_cfg:
+        samples = samples[:n]
+
+    if args.measure_time:
+        reps = 5
+        run(z, y)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            r = run(z, y)
+        _ = np.asarray(r[0] if isinstance(r, tuple) else r)
+        dt = (time.perf_counter() - t0) / reps
+        print(f"sampling time: {dt:.3f}s / batch "
+              f"({n / dt:.3f} img/s)")
+
+    os.makedirs(args.sample_dir, exist_ok=True)
+    if args.vae_ckpt:
+        from dimsum_tpu.models.vae import load_vae
+        from PIL import Image
+
+        vae, vae_params = load_vae(args.vae_ckpt)
+        imgs = jax.jit(lambda zz: vae.apply(vae_params, zz,
+                                            method=vae.decode))(samples)
+        imgs = np.asarray(imgs)
+        imgs = np.clip((imgs + 1) / 2 * 255, 0, 255).astype(np.uint8)
+        for i, im in enumerate(imgs):
+            Image.fromarray(im.transpose(1, 2, 0)).save(
+                os.path.join(args.sample_dir, f"{i:06d}.png"))
+        print(f"wrote {len(imgs)} images to {args.sample_dir}")
+    else:
+        path = os.path.join(args.sample_dir, "latents.npz")
+        np.savez(path, latents=samples, labels=np.asarray(y[:n]))
+        print(f"no --vae-ckpt: wrote raw latents to {path}")
+
+
+if __name__ == "__main__":
+    main()

