@@ -72,21 +72,22 @@ def main():
 
     from dimsum_tpu.models.dim import forward_with_cfg
 
-    def model_fn(x, t, y=None):
-        return forward_with_cfg(model.apply, params, x, t, y,
-                                cfg_scale=1.4, in_channels=cfg.in_channels)
-
     @jax.jit
-    def run(z, y):
-        return sample_fn(z, lambda x, t, **kw: model_fn(x, t, **kw), y=y)
+    def run(params, z, y):
+        def model_fn(x, t, y=None):
+            return forward_with_cfg(model.apply, params, x, t, y,
+                                    cfg_scale=1.4,
+                                    in_channels=cfg.in_channels)
+
+        return sample_fn(z, model_fn, y=y)
 
     # compile + warmup (forces full completion via host transfer)
-    out = run(z, y)
+    out = run(params, z, y)
     np.asarray(out)
 
     t_start = time.perf_counter()
     for _ in range(args.iters):
-        out = run(z, y)
+        out = run(params, z, y)
     np.asarray(out)  # sync
     dt = (time.perf_counter() - t_start) / args.iters
 

@@ -46,6 +46,8 @@ def add_model_args(p: argparse.ArgumentParser):
                    help="bfloat16 compute (TPU-native)")
     p.add_argument("--scan-impl", type=none_or_str, default=None,
                    choices=[None, "ref", "xla", "pallas"])
+    p.add_argument("--grad-checkpoint", action="store_true",
+                   help="remat each block (memory for FLOPs)")
 
 
 def add_moe_args(p: argparse.ArgumentParser):

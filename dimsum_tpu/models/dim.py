@@ -83,6 +83,8 @@ class DiMConfig:
     use_independent_attn: bool = False
     dtype: Any = jnp.float32
     scan_impl: Optional[str] = None
+    grad_checkpoint: bool = False  # remat each block (reference DiT's
+    #                                set_gradient_checkpointing equivalent)
 
     @property
     def eff_depth(self) -> int:
@@ -252,7 +254,11 @@ class DiM(nn.Module):
         attn_idx = 0
         for i in range(cfg.eff_depth):
             block = self._make_block(i, cfg, paths, paths2)
-            x, residual = block(x, residual, c)
+            if cfg.grad_checkpoint:
+                x, residual = nn.remat(
+                    lambda mdl, *a: mdl(*a))(block, x, residual, c)
+            else:
+                x, residual = block(x, residual, c)
             if attn_every > 0 and (i + 1) % attn_every == 0:
                 if cfg.use_independent_attn:
                     if attn_idx < cfg.num_attn_blocks:

@@ -43,6 +43,7 @@ def create_model(args: Any) -> Tuple[Any, Any]:
             use_attn_every_k_layers=args.use_attn_every_k_layers,
             use_gated_mlp=not args.not_use_gated_mlp,
             dtype=dtype,
+            grad_checkpoint=getattr(args, "grad_checkpoint", False),
         )
         return DiM(cfg), cfg
     elif "DiT" in args.model:

@@ -30,9 +30,28 @@ class TrainState(struct.PyTreeNode):
 
 
 def create_optimizer(lr: float = 1e-4, weight_decay: float = 0.0,
-                     betas=(0.9, 0.999)) -> optax.GradientTransformation:
-    return optax.adamw(lr, b1=betas[0], b2=betas[1],
+                     betas=(0.9, 0.999),
+                     schedule=None) -> optax.GradientTransformation:
+    """AdamW matching the reference (train.py:199-200: wd=0, default betas,
+    constant lr).  `schedule` may be an optax schedule for the optional
+    warmup+cosine decay (the reference ships the helper at train.py:117-130
+    but runs constant lr)."""
+    return optax.adamw(schedule if schedule is not None else lr,
+                       b1=betas[0], b2=betas[1],
                        weight_decay=weight_decay)
+
+
+def warmup_cosine_schedule(lr: float, min_lr: float, warmup_epochs: int,
+                           total_epochs: int, steps_per_epoch: int):
+    """Linear warmup then half-cosine decay to min_lr (reference
+    adjust_learning_rate, train.py:117-130)."""
+    warmup = optax.linear_schedule(0.0, lr,
+                                   max(warmup_epochs * steps_per_epoch, 1))
+    decay_steps = max((total_epochs - warmup_epochs) * steps_per_epoch, 1)
+    cosine = optax.cosine_decay_schedule(lr, decay_steps,
+                                         alpha=min_lr / max(lr, 1e-12))
+    return optax.join_schedules(
+        [warmup, cosine], [max(warmup_epochs * steps_per_epoch, 1)])
 
 
 def create_train_state(params, optimizer) -> TrainState:

@@ -168,6 +168,50 @@ def load_torch_checkpoint(path: str, key: str = "ema",
     return convert_torch_state_dict(sd, params_template, strict=strict)
 
 
+def adapt_checkpoint(params: Dict, template: Dict) -> Dict:
+    """Warm-start adaptation across resolutions / patch sizes:
+
+    * pos_embed: bicubic 2-D interpolation of the token grid (reference
+      interpolate_pos_embed, models_dim.py:99-121);
+    * patch-embed kernel / final-layer linear: shape-adaptive slice or
+      zero-pad (reference train.py:205-236).
+    Any other shape mismatch raises.
+    """
+    import jax
+
+    def key_of(path):
+        return tuple(str(getattr(k, "key", k)) for k in path)
+
+    tmpl_flat = {key_of(p): v for p, v in
+                 jax.tree_util.tree_flatten_with_path(template)[0]}
+    out = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+
+    def fix(path, arr):
+        key = key_of(path)
+        want = tmpl_flat.get(key)
+        if want is None or tuple(want.shape) == tuple(arr.shape):
+            return arr
+        name = "/".join(key)
+        if "pos_embed" in name:
+            _, L_old, D = arr.shape
+            L_new = want.shape[1]
+            old = int(round(L_old ** 0.5))
+            new = int(round(L_new ** 0.5))
+            grid = jnp.asarray(arr).reshape(1, old, old, D)
+            resized = jax.image.resize(grid, (1, new, new, D), "bicubic")
+            return resized.reshape(1, L_new, D)
+        if "x_embedder" in name or ("final_layer" in name
+                                    and "linear" in name):
+            pad = [(0, max(0, w - a)) for w, a in
+                   zip(want.shape, arr.shape)]
+            arr = jnp.pad(jnp.asarray(arr), pad)
+            slices = tuple(slice(0, w) for w in want.shape)
+            return arr[slices]
+        raise ValueError(f"cannot adapt {name}: {arr.shape} -> {want.shape}")
+
+    return jax.tree_util.tree_map_with_path(fix, out)
+
+
 # ---------------------------------------------------------------------------
 # orbax-based native checkpointing
 # ---------------------------------------------------------------------------

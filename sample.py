@@ -119,14 +119,14 @@ def main():
         y = jnp.concatenate([y, jnp.full((n,), num_real)], 0).astype(
             jnp.int32)
 
-        def model_fn(x, t, y=None):
+        def model_fn_p(p, x, t, y=None):
             fwd = forward_with_adacfg if args.ada_cfg else forward_with_cfg
-            return fwd(model.apply, {"params": params}, x, t, y,
+            return fwd(model.apply, {"params": p}, x, t, y,
                        cfg_scale=args.cfg_scale,
                        in_channels=cfg.in_channels)
     else:
-        def model_fn(x, t, y=None):
-            return model.apply({"params": params}, x, t, y)
+        def model_fn_p(p, x, t, y=None):
+            return model.apply({"params": p}, x, t, y)
 
     if args.mode == "ODE":
         sample_fn = sampler.sample_ode(
@@ -143,11 +143,15 @@ def main():
             num_steps=args.num_sampling_steps)
 
     @jax.jit
-    def run(z, y):
-        return sample_fn(z, lambda x, t, **kw: model_fn(x, t, **kw),
-                         rng=k_sde, y=y)
+    def run(params, z, y):
+        # params threaded as an argument (NOT a closure constant) so the
+        # weights are not baked into the compiled program
+        def fn(x, t, **kw):
+            return model_fn_p(params, x, t, **kw)
 
-    out = run(z, y)
+        return sample_fn(z, fn, rng=k_sde, y=y)
+
+    out = run(params, z, y)
     nfe = None
     if args.compute_nfe and isinstance(out, tuple):
         out, nfe = out
@@ -158,10 +162,10 @@ def main():
 
     if args.measure_time:
         reps = 5
-        run(z, y)
+        run(params, z, y)
         t0 = time.perf_counter()
         for _ in range(reps):
-            r = run(z, y)
+            r = run(params, z, y)
         _ = np.asarray(r[0] if isinstance(r, tuple) else r)
         dt = (time.perf_counter() - t0) / reps
         print(f"sampling time: {dt:.3f}s / batch "

@@ -96,20 +96,19 @@ def main():
             last_step_size=args.last_step_size,
             num_steps=args.num_sampling_steps)
 
-    def batch_model_fn(x, t, y=None):
-        if use_cfg:
-            return forward_with_cfg(model.apply, {"params": params}, x, t, y,
-                                    cfg_scale=args.cfg_scale,
-                                    in_channels=cfg.in_channels)
-        return model.apply({"params": params}, x, t, y)
+    def local_sample(params, z, y, rng):
+        def batch_model_fn(x, t, y=None):
+            if use_cfg:
+                return forward_with_cfg(
+                    model.apply, {"params": params}, x, t, y,
+                    cfg_scale=args.cfg_scale, in_channels=cfg.in_channels)
+            return model.apply({"params": params}, x, t, y)
 
-    def local_sample(z, y, rng):
         if use_cfg:
             z = jnp.concatenate([z, z], 0)
             y = jnp.concatenate(
                 [y, jnp.full_like(y, num_real_classes)], 0)
-        out = sample_fn(z, lambda x, t, **kw: batch_model_fn(x, t, **kw),
-                        rng=rng, y=y)
+        out = sample_fn(z, batch_model_fn, rng=rng, y=y)
         return out[: z.shape[0] // 2] if use_cfg else out
 
     if mesh is not None:
@@ -118,7 +117,7 @@ def main():
 
         run = jax.jit(shard_map(
             local_sample, mesh=mesh,
-            in_specs=(P("data"), P("data"), P()),
+            in_specs=(P(), P("data"), P("data"), P()),
             out_specs=P("data"), check_vma=False))
     else:
         run = jax.jit(local_sample)
@@ -149,7 +148,7 @@ def main():
             y = jax.random.randint(ky, (global_batch,), 0,
                                    max(num_real_classes, 1))
         y = y.astype(jnp.int32)
-        out = run(z, y, ks)
+        out = run(params, z, y, ks)
         if decode is not None:
             from PIL import Image
 

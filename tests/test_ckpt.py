@@ -149,3 +149,40 @@ def test_orbax_roundtrip(tmp_path):
     # empty dir behaves
     none_state, none_step = restore_checkpoint(str(tmp_path / "nope"), state)
     assert none_state is None and none_step is None
+
+
+def test_adapt_checkpoint_pos_embed_and_patch():
+    from dimsum_tpu.utils.ckpt import adapt_checkpoint
+
+    params = {
+        "pos_embed": np.random.randn(1, 64, 16).astype(np.float32),
+        "x_embedder": {"proj": {
+            "kernel": np.random.randn(16, 32).astype(np.float32)}},
+        "other": {"w": np.ones((4, 4), np.float32)},
+    }
+    template = {
+        "pos_embed": np.zeros((1, 256, 16), np.float32),
+        "x_embedder": {"proj": {"kernel": np.zeros((32, 32), np.float32)}},
+        "other": {"w": np.zeros((4, 4), np.float32)},
+    }
+    out = adapt_checkpoint(params, template)
+    assert out["pos_embed"].shape == (1, 256, 16)
+    assert out["x_embedder"]["proj"]["kernel"].shape == (32, 32)
+    # untouched param stays identical
+    np.testing.assert_array_equal(np.asarray(out["other"]["w"]),
+                                  params["other"]["w"])
+    # incompatible non-adaptable mismatch raises
+    bad_template = dict(template)
+    bad_template["other"] = {"w": np.zeros((8, 8), np.float32)}
+    with pytest.raises(ValueError, match="cannot adapt"):
+        adapt_checkpoint(params, bad_template)
+
+
+def test_warmup_cosine_schedule():
+    from dimsum_tpu.parallel.train import warmup_cosine_schedule
+
+    sched = warmup_cosine_schedule(1e-4, 1e-6, warmup_epochs=2,
+                                   total_epochs=10, steps_per_epoch=100)
+    assert float(sched(0)) < 1e-6 + 1e-9
+    np.testing.assert_allclose(float(sched(200)), 1e-4, rtol=1e-2)
+    assert float(sched(1000)) <= 1.2e-6
