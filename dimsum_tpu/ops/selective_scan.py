@@ -313,28 +313,30 @@ def _selective_scan_pallas(u, delta, A, B, C, D, z, delta_bias, delta_softplus):
 
 
 def _pallas_fwd(u, delta, A, B, C, D, z, delta_bias, delta_softplus):
-    out = _selective_scan_pallas_fwd_impl(
-        u, delta, A, B, C, D, z, delta_bias, delta_softplus
+    """Training-mode forward: additionally saves the pre-gate activations and
+    chunk-boundary states consumed by the fused reverse-scan backward."""
+    from dimsum_tpu.ops.selective_scan_bwd import selective_scan_fwd_train
+
+    batch, seqlen, dim = u.shape
+    chunk, d_block = _pick_blocks(seqlen, dim)
+    y, o, boundaries = selective_scan_fwd_train(
+        u, delta, A, B, C, D, z, delta_bias, delta_softplus,
+        chunk=chunk, d_block=d_block,
     )
-    return out, (u, delta, A, B, C, D, z, delta_bias)
+    return y, (u, delta, A, B, C, D, z, delta_bias, o, boundaries)
 
 
 def _pallas_bwd(delta_softplus, res, g):
-    u, delta, A, B, C, D, z, delta_bias = res
+    from dimsum_tpu.ops.selective_scan_bwd import selective_scan_bwd_pallas
 
-    # Differentiate only w.r.t. the present inputs; absent optionals get None.
-    present = [x for x in (u, delta, A, B, C, D, z, delta_bias) if x is not None]
-    mask = [x is not None for x in (u, delta, A, B, C, D, z, delta_bias)]
-
-    def f(*args):
-        it = iter(args)
-        full = [next(it) if m else None for m in mask]
-        return selective_scan_xla(*full, delta_softplus=delta_softplus)
-
-    _, vjp = jax.vjp(f, *present)
-    grads_present = vjp(g)
-    it = iter(grads_present)
-    return tuple(next(it) if m else None for m in mask)
+    u, delta, A, B, C, D, z, delta_bias, o, boundaries = res
+    batch, seqlen, dim = u.shape
+    chunk, d_block = _pick_blocks(seqlen, dim)
+    du, ddelta, dA, dB, dC, dD, dz, dbias = selective_scan_bwd_pallas(
+        u, delta, A, B, C, D, z, delta_bias, delta_softplus, o, boundaries,
+        g, chunk=chunk, d_block=d_block,
+    )
+    return du, ddelta, dA, dB, dC, dD, dz, dbias
 
 
 _selective_scan_pallas.defvjp(_pallas_fwd, _pallas_bwd)
