@@ -48,8 +48,10 @@ def _dataset_batches(dataset, batch_size: int, max_items: Optional[int]):
         yield np.stack(xs)
 
 
-def _cache_path(cache_dir, tag, dataset_id, detector_id, max_items):
-    key = json.dumps([dataset_id, detector_id, max_items], sort_keys=True)
+def _cache_path(cache_dir, tag, dataset_id, detector_id, max_items,
+                capture_all=False):
+    key = json.dumps([dataset_id, detector_id, max_items, capture_all],
+                     sort_keys=True)
     md5 = hashlib.md5(key.encode()).hexdigest()
     return os.path.join(cache_dir, f"{tag}-{md5}.npz")
 
@@ -64,9 +66,11 @@ def dataset_feature_stats(dataset, detector, batch_size: int = 64,
     if cache_dir:
         os.makedirs(cache_dir, exist_ok=True)
         path = _cache_path(cache_dir, "real-stats", dataset_id, detector_id,
-                           max_items)
+                           max_items, capture_all)
         if os.path.exists(path):
-            return FeatureStats.load(path)
+            loaded = FeatureStats.load(path)
+            if not capture_all or loaded.capture_all:
+                return loaded
     stats = FeatureStats(capture_all=capture_all, capture_mean_cov=True,
                          max_items=max_items)
     batched_features(_dataset_batches(dataset, batch_size, max_items),
@@ -135,7 +139,12 @@ def pr50k3_full(opts):
 def is50k(opts):
     gen = gen_feature_stats(opts["gen_batches"](), opts["detector"],
                             max_items=50_000, capture_all=True)
-    mean, std = compute_inception_score(gen.get_all())
+    logits = gen.get_all()
+    # detector returns logits (the reference runs the Inception net with
+    # no_output_bias=True and softmaxes, inception_score.py); normalize here
+    e = np.exp(logits - logits.max(axis=1, keepdims=True))
+    probs = e / e.sum(axis=1, keepdims=True)
+    mean, std = compute_inception_score(probs)
     return {"is50k_mean": mean, "is50k_std": std}
 
 

@@ -179,8 +179,64 @@ def main():
         if epoch % args.plot_every == 0 and vae is not None:
             _plot_samples(args, model, state, transport, vae, vae_params,
                           exp_dir, epoch, cfg)
+        if (args.eval_refdir and vae is not None
+                and epoch % args.eval_every == 0 and epoch > 0):
+            _in_training_fid(args, model, state, transport, vae, vae_params,
+                             exp_dir, cfg, logger)
 
     logger.info("done")
+
+
+def _in_training_fid(args, model, state, transport, vae, vae_params,
+                     exp_dir, cfg, logger):
+    """fid2k-style eval during training (reference train.py:393-482)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dimsum_tpu.data import ImageFolderDataset
+    from dimsum_tpu.eval import (
+        RandomProjectionDetector, TorchScriptDetector, calc_metric,
+        report_metric, latents_to_uint8,
+    )
+    from dimsum_tpu.transport import Sampler
+
+    sampler = Sampler(transport)
+    fn = sampler.sample_ode(sampling_method="euler", num_steps=50)
+
+    @jax.jit
+    def gen(params, z, y):
+        def mf(x, t, **kw):
+            return model.apply({"params": params}, x, t, **kw)
+
+        lat = fn(z, mf, y=y)
+        return vae.apply(vae_params, lat, method=vae.decode)
+
+    def gen_batches():
+        rng = jax.random.PRNGKey(0)
+        n = 0
+        while n < args.eval_nsamples:
+            rng, kz, ky = jax.random.split(rng, 3)
+            bs = args.eval_bs
+            z = jax.random.normal(kz, (bs, cfg.in_channels,
+                                       cfg.img_resolution,
+                                       cfg.img_resolution))
+            y = jax.random.randint(ky, (bs,), 0, max(args.num_classes, 1))
+            imgs = np.asarray(gen(state.ema_params, z, y))
+            n += bs
+            yield latents_to_uint8(imgs)
+
+    detector = (TorchScriptDetector(args.eval_detector,
+                                    return_features=True)
+                if args.eval_detector else RandomProjectionDetector())
+    real = ImageFolderDataset(args.eval_refdir, args.image_size,
+                              raw_uint8=True)
+    result = calc_metric(
+        "fid2k_full", real_dataset=real, gen_batches=gen_batches,
+        detector=detector, cache_dir=os.path.join(exp_dir, "stats-cache"),
+        dataset_id=args.eval_refdir,
+        detector_id=args.eval_detector or "randproj")
+    report_metric(result, run_dir=exp_dir)
+    logger.info(f"in-training eval: {result['results']}")
 
 
 def _plot_samples(args, model, state, transport, vae, vae_params, exp_dir,
