@@ -37,12 +37,23 @@ class LatentMemmapDataset(Dataset):
 
     def __init__(self, features_path: str, labels_path: Optional[str] = None,
                  num_samples: Optional[int] = None,
-                 latent_shape: Tuple[int, int, int] = (4, 32, 32)):
+                 latent_shape: Tuple[int, int, int] = (4, 32, 32),
+                 use_native: bool = True):
         if num_samples is None:  # infer from file size
             item_bytes = 4 * int(np.prod(latent_shape))
             num_samples = os.path.getsize(features_path) // item_bytes
         self.features = np.memmap(features_path, dtype=np.float32, mode="r",
                                   shape=(num_samples, *latent_shape))
+        self._native = None
+        if use_native:
+            try:
+                from dimsum_tpu.data.native import NativeLatentStore
+
+                store = NativeLatentStore(features_path, latent_shape)
+                if store.is_native:
+                    self._native = store
+            except Exception:
+                self._native = None
         self.labels = None
         if labels_path:
             self.labels = np.memmap(labels_path, dtype=np.int64, mode="r",
@@ -56,6 +67,18 @@ class LatentMemmapDataset(Dataset):
         x = np.asarray(self.features[idx], np.float32)
         y = int(self.labels[idx]) if self.labels is not None else 0
         return x, y
+
+    def gather(self, indices):
+        """Whole-batch fast path (native C++ threaded gather when built)."""
+        if self._native is not None:
+            xs = self._native.gather(indices)
+        else:
+            xs = np.asarray(self.features[np.asarray(indices)], np.float32)
+        if self.labels is not None:
+            ys = np.asarray(self.labels[np.asarray(indices)], np.int64)
+        else:
+            ys = np.zeros(len(indices), np.int64)
+        return xs, ys
 
 
 class LatentFolderDataset(Dataset):

@@ -80,8 +80,11 @@ class Loader:
                     i, b = job_q.get_nowait()
                 except queue.Empty:
                     return
-                xs, ys = zip(*(self.dataset[int(j)] for j in b))
-                batch = (np.stack(xs), np.asarray(ys, np.int64))
+                if hasattr(self.dataset, "gather"):
+                    batch = self.dataset.gather(b)
+                else:
+                    xs, ys = zip(*(self.dataset[int(j)] for j in b))
+                    batch = (np.stack(xs), np.asarray(ys, np.int64))
                 with results_cv:
                     results[i] = batch
                     results_cv.notify_all()

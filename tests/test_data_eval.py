@@ -228,3 +228,35 @@ def test_vae_shapes_and_converter():
 
     w = sd["quant_conv.weight"]
     assert _conv_w(w).shape == (1, 1, 8, 8)
+
+
+def test_native_batch_gather(tmp_path):
+    """C++ gather core must match numpy fancy indexing exactly."""
+    from dimsum_tpu.data.native import NativeLatentStore
+
+    n, shape = 64, (4, 8, 8)
+    path = str(tmp_path / "nl.dat")
+    mm = np.memmap(path, dtype=np.float32, mode="w+", shape=(n, *shape))
+    rng = np.random.default_rng(0)
+    mm[:] = rng.standard_normal((n, *shape))
+    mm.flush()
+    ref = np.array(mm)
+
+    store = NativeLatentStore(path, shape, num_threads=4)
+    assert len(store) == n
+    idx = rng.permutation(n)[:20]
+    got = store.gather(idx)
+    np.testing.assert_array_equal(got, ref[idx])
+    if store.is_native:
+        # out-of-range index must raise, not segfault
+        with pytest.raises(IndexError):
+            store.gather(np.array([n + 5]))
+    store.close()
+
+    # dataset + loader use the batch fast path
+    ds = LatentMemmapDataset(path, None, latent_shape=shape)
+    xs, ys = ds.gather(idx)
+    np.testing.assert_array_equal(xs, ref[idx])
+    loader = Loader(ds, batch_size=8, seed=0, num_workers=2)
+    x, y = next(iter(loader))
+    assert x.shape == (8, *shape)
