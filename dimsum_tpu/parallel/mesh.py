@@ -20,6 +20,20 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Multi-host initialization (the reference's init_process_group
+    equivalent, train.py:145).  One call per host; collectives then ride
+    ICI within a slice and DCN across slices.  Returns the process index.
+    No-op on single-host setups."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+    return jax.process_index()
+
+
 def make_mesh(data: Optional[int] = None, model: int = 1,
               devices=None) -> Mesh:
     """Build a (data, model) mesh.  data=None uses all remaining devices."""

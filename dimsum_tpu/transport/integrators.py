@@ -96,13 +96,31 @@ def ode_dopri5(drift, x, t0: float, t1: float, rtol: float = 1e-3,
     Solves from t0 to t1 (t1 > t0) and returns x(t1) (and NFE if asked).
     """
     span = t1 - t0
-    dt0 = jnp.asarray(first_dt if first_dt is not None else span / 100.0,
-                      jnp.float32)
 
     def f(x_, t_):
         return drift(x_, _tvec(x_, t_))
 
     k1_init = f(x, jnp.asarray(t0, jnp.float32))
+
+    if first_dt is not None:
+        dt0 = jnp.asarray(first_dt, jnp.float32)
+    else:
+        # Hairer's automatic initial step (what torchdiffeq/diffrax use):
+        # costs one extra drift eval, buys dopri5 NFE parity.
+        scale = atol + rtol * jnp.abs(x)
+        d0 = jnp.sqrt(jnp.mean((x / scale) ** 2))
+        d1 = jnp.sqrt(jnp.mean((k1_init / scale) ** 2))
+        h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / d1)
+        x1 = x + h0 * k1_init
+        f1 = f(x1, jnp.asarray(t0, jnp.float32) + h0)
+        d2 = jnp.sqrt(jnp.mean(((f1 - k1_init) / scale) ** 2)) / h0
+        h1 = jnp.where(
+            jnp.maximum(d1, d2) <= 1e-15,
+            jnp.maximum(1e-6, h0 * 1e-3),
+            (0.01 / jnp.maximum(d1, d2)) ** 0.2,
+        )
+        dt0 = jnp.minimum(jnp.minimum(100 * h0, h1),
+                          jnp.asarray(span, jnp.float32))
 
     def cond(s: _Dopri5State):
         return (s.t < t1) & (s.nfe < max_steps * 6)

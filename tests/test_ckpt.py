@@ -186,3 +186,50 @@ def test_warmup_cosine_schedule():
     assert float(sched(0)) < 1e-6 + 1e-9
     np.testing.assert_allclose(float(sched(200)), 1e-4, rtol=1e-2)
     assert float(sched(1000)) <= 1.2e-6
+
+
+def test_convert_dit_state_dict():
+    """DiT checkpoints (timm Mlp fc1/fc2, attention qkv/proj) convert too."""
+    from dimsum_tpu.models.dit import DiT, DiTConfig
+
+    D, heads = 64, 4
+    cfg = DiTConfig(img_resolution=16, patch_size=2, hidden_size=D,
+                    depth=1, num_heads=heads, num_classes=10)
+    model = DiT(cfg)
+    x = jnp.zeros((1, 4, 16, 16))
+    template = model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,)),
+                          jnp.zeros((1,), jnp.int32))["params"]
+    rng = np.random.default_rng(0)
+
+    def rnd(*s):
+        return (0.02 * rng.standard_normal(s)).astype(np.float32)
+
+    L = 64
+    sd = {
+        "pos_embed": rnd(1, L, D),
+        "x_embedder.proj.weight": rnd(D, 4, 2, 2),
+        "x_embedder.proj.bias": rnd(D),
+        "t_embedder.mlp.0.weight": rnd(D, 256),
+        "t_embedder.mlp.0.bias": rnd(D),
+        "t_embedder.mlp.2.weight": rnd(D, D),
+        "t_embedder.mlp.2.bias": rnd(D),
+        "y_embedder.embedding_table.weight": rnd(11, D),
+        "blocks.0.attn.qkv.weight": rnd(3 * D, D),
+        "blocks.0.attn.qkv.bias": rnd(3 * D),
+        "blocks.0.attn.proj.weight": rnd(D, D),
+        "blocks.0.attn.proj.bias": rnd(D),
+        "blocks.0.adaLN_modulation.1.weight": rnd(6 * D, D),
+        "blocks.0.adaLN_modulation.1.bias": rnd(6 * D),
+        "blocks.0.mlp.fc1.weight": rnd(4 * D, D),
+        "blocks.0.mlp.fc1.bias": rnd(4 * D),
+        "blocks.0.mlp.fc2.weight": rnd(D, 4 * D),
+        "blocks.0.mlp.fc2.bias": rnd(D),
+        "final_layer.adaLN_modulation.1.weight": rnd(2 * D, D),
+        "final_layer.adaLN_modulation.1.bias": rnd(2 * D),
+        "final_layer.linear.weight": rnd(2 * 2 * 4, D),
+        "final_layer.linear.bias": rnd(2 * 2 * 4),
+    }
+    params = convert_torch_state_dict(sd, template, strict=True)
+    out = model.apply({"params": params}, x, jnp.full((1,), 0.5),
+                      jnp.zeros((1,), jnp.int32))
+    assert np.isfinite(np.asarray(out)).all()
