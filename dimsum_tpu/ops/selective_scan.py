@@ -28,9 +28,12 @@ Three implementations:
   * `selective_scan_pallas` : fused Pallas TPU kernel; discretization,
                               scan, C-contraction, D-skip and silu(z) gate all
                               happen in VMEM so the (B, L, D, N) intermediates
-                              never touch HBM. Backward falls back to the XLA
-                              formulation via `jax.vjp` (fused reverse-scan
-                              kernel is a planned optimization).
+                              never touch HBM. Backward is the fused
+                              reverse-scan kernel in selective_scan_bwd.py.
+                              Supports h0 seeding and last-state output
+                              (sequence parallelism / inference caches); see
+                              selective_scan_sp.py for the cross-chip
+                              sequence-sharded wrapper.
 
 The reference's `_cond` variants (`mamba_inner_fn_cond`) pass an
 `init_states` tensor that the shipped CUDA kernel ignores (see
@@ -148,9 +151,15 @@ def selective_scan_xla(
 # ---------------------------------------------------------------------------
 
 
-def _scan_kernel(
+def _scan_kernel(*refs, **kw):
+    """pallas_call entry point (kernels must return None)."""
+    _scan_body(*refs, **kw)
+
+
+def _scan_body(
     # refs (block views)
-    u_ref, dt_ref, A_ref, B_ref, C_ref, D_ref, bias_ref, z_ref, out_ref,
+    u_ref, dt_ref, A_ref, B_ref, C_ref, D_ref, bias_ref, z_ref, h0_ref,
+    out_ref,
     # scratch
     h_ref,
     *,
@@ -161,13 +170,17 @@ def _scan_kernel(
     has_z: bool,
     has_d: bool,
     has_bias: bool,
+    has_h0: bool,
     out_dtype,
 ):
     l_idx = pl.program_id(2)
 
     @pl.when(l_idx == 0)
     def _reset():
-        h_ref[:] = jnp.zeros_like(h_ref)
+        if has_h0:
+            h_ref[:] = h0_ref[0].astype(jnp.float32)
+        else:
+            h_ref[:] = jnp.zeros_like(h_ref)
 
     f32 = jnp.float32
     u = u_ref[0].astype(f32)        # (chunk, d_block)
@@ -214,6 +227,18 @@ def _scan_kernel(
         zf = z_ref[0].astype(f32)
         y = y * (zf * jax.nn.sigmoid(zf))
     out_ref[0] = y.astype(out_dtype)
+    return h
+
+
+def _scan_kernel_with_state(
+    u_ref, dt_ref, A_ref, B_ref, C_ref, D_ref, bias_ref, z_ref, h0_ref,
+    out_ref, last_ref, h_scratch, **kw,
+):
+    """Variant that also emits the final carried state (for sequence
+    parallelism and inference caches)."""
+    h = _scan_body(u_ref, dt_ref, A_ref, B_ref, C_ref, D_ref, bias_ref,
+                   z_ref, h0_ref, out_ref, h_scratch, **kw)
+    last_ref[0] = h[h.shape[0] - kw["n_state"]:, :]
 
 
 def _pick_blocks(seqlen: int, dim: int):
@@ -236,6 +261,7 @@ def _pick_blocks(seqlen: int, dim: int):
 
 def _selective_scan_pallas_fwd_impl(
     u, delta, A, B, C, D, z, delta_bias, delta_softplus,
+    h0=None, want_last_state=False,
 ):
     batch, seqlen, dim = u.shape
     n_state = A.shape[1]
@@ -246,6 +272,7 @@ def _selective_scan_pallas_fwd_impl(
     has_z = z is not None
     has_d = D is not None
     has_bias = delta_bias is not None
+    has_h0 = h0 is not None
     # Pallas wants concrete arrays; use harmless placeholders for absent
     # optionals (they are never read thanks to the static flags).
     D_in = (D if has_d else jnp.zeros((dim,), jnp.float32)).reshape(1, dim)
@@ -253,11 +280,13 @@ def _selective_scan_pallas_fwd_impl(
         delta_bias if has_bias else jnp.zeros((dim,), jnp.float32)
     ).reshape(1, dim)
     z_in = z if has_z else u  # placeholder, never read
+    # h0 arrives as (batch, dim, n_state); kernel blocks are (n_state, d).
+    h0_in = (jnp.swapaxes(h0, 1, 2).astype(jnp.float32) if has_h0
+             else jnp.zeros((batch, n_state, dim), jnp.float32))
 
     grid = (batch, dim // d_block, seqlen // chunk)
 
-    kernel = functools.partial(
-        _scan_kernel,
+    kw = dict(
         n_state=n_state,
         chunk=chunk,
         d_block=d_block,
@@ -265,6 +294,7 @@ def _selective_scan_pallas_fwd_impl(
         has_z=has_z,
         has_d=has_d,
         has_bias=has_bias,
+        has_h0=has_h0,
         out_dtype=u.dtype,
     )
 
@@ -282,27 +312,52 @@ def _selective_scan_pallas_fwd_impl(
     vec_spec = pl.BlockSpec(
         (1, d_block), lambda b, d, l: (0, d), memory_space=pltpu.VMEM
     )
+    state_spec = pl.BlockSpec(
+        (1, n_state, d_block), lambda b, d, l: (b, 0, d),
+        memory_space=pltpu.VMEM,
+    )
+
+    in_specs = [
+        bld_spec,   # u
+        bld_spec,   # delta
+        dn_spec,    # A
+        bln_spec,   # B
+        bln_spec,   # C
+        vec_spec,   # D
+        vec_spec,   # delta_bias
+        bld_spec,   # z
+        state_spec,  # h0
+    ]
+    args = (u, delta, A, B, C, D_in, bias_in, z_in, h0_in)
+    compiler_params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
+    )
+    scratch = [pltpu.VMEM((n_state, d_block), jnp.float32)]
+
+    if want_last_state:
+        y, last = pl.pallas_call(
+            functools.partial(_scan_kernel_with_state, **kw),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=(bld_spec, state_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct(u.shape, u.dtype),
+                jax.ShapeDtypeStruct((batch, n_state, dim), jnp.float32),
+            ),
+            scratch_shapes=scratch,
+            compiler_params=compiler_params,
+        )(*args)
+        return y, jnp.swapaxes(last, 1, 2)  # -> (batch, dim, n_state)
 
     return pl.pallas_call(
-        kernel,
+        functools.partial(_scan_kernel, **kw),
         grid=grid,
-        in_specs=[
-            bld_spec,  # u
-            bld_spec,  # delta
-            dn_spec,   # A
-            bln_spec,  # B
-            bln_spec,  # C
-            vec_spec,  # D
-            vec_spec,  # delta_bias
-            bld_spec,  # z
-        ],
+        in_specs=in_specs,
         out_specs=bld_spec,
         out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
-        scratch_shapes=[pltpu.VMEM((n_state, d_block), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-    )(u, delta, A, B, C, D_in, bias_in, z_in)
+        scratch_shapes=scratch,
+        compiler_params=compiler_params,
+    )(*args)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
