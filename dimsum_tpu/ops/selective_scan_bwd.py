@@ -45,22 +45,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _doubling_scan(a, x, n_state, chunk, d_block):
-    """Inclusive first-order scan over row-blocks of n_state rows."""
-    f32 = jnp.float32
-    rows = chunk * n_state
-    k = 1
-    while k < chunk:
-        sh = k * n_state
-        a_prev = jnp.concatenate(
-            [jnp.ones((sh, d_block), f32), a[: rows - sh]], axis=0)
-        x_prev = jnp.concatenate(
-            [jnp.zeros((sh, d_block), f32), x[: rows - sh]], axis=0)
-        x = x + a * x_prev
-        a = a * a_prev
-        k *= 2
-    return a, x
+from dimsum_tpu.ops.selective_scan import scan_rows
 
 
 def _fwd_train_kernel(
@@ -93,10 +78,8 @@ def _fwd_train_kernel(
     rows = chunk * n_state
     a = jnp.exp((dt[:, None, :] * A.T[None, :, :]).reshape(rows, d_block))
     x = ((dt * u)[:, None, :] * Bm[:, :, None]).reshape(rows, d_block)
-    a_cum, xs = _doubling_scan(a, x, n_state, chunk, d_block)
-    h0 = h_ref[:]
-    h = xs + a_cum * jnp.tile(h0, (chunk, 1))
-    h_ref[:] = h[rows - n_state:, :]
+    h, h_last = scan_rows(a, x, h_ref[:], n_state, chunk, d_block)
+    h_ref[:] = h_last
 
     s = (h.reshape(chunk, n_state, d_block) * Cm[:, :, None]).sum(axis=1)
     o = s + (u * D_ref[0][None, :].astype(f32) if has_d else 0.0)
@@ -138,9 +121,8 @@ def _bwd_kernel(
     At = A.T[None, :, :]
     a = jnp.exp((dtp[:, None, :] * At).reshape(rows, d_block))
     x = ((dtp * u)[:, None, :] * Bm[:, :, None]).reshape(rows, d_block)
-    a_cum, xs = _doubling_scan(a, x, n_state, chunk, d_block)
     h0 = bnd_ref[0, 0]  # (n_state, d_block) chunk-start state
-    h = xs + a_cum * jnp.tile(h0, (chunk, 1))
+    h, _ = scan_rows(a, x, h0, n_state, chunk, d_block)
     h_prev = jnp.concatenate([h0, h[: rows - n_state]], axis=0)
 
     # p = go (x) C  in (t, n) rows
@@ -156,9 +138,8 @@ def _bwd_kernel(
     a_f = flip_rows(a)
     coeff = jnp.concatenate(
         [jnp.ones((n_state, d_block), f32), a_f[: rows - n_state]], axis=0)
-    ccum, es = _doubling_scan(coeff, p_f, n_state, chunk, d_block)
     w = w_ref[:]  # carry from the (temporally) NEXT chunk
-    e_f = es + ccum * jnp.tile(w, (chunk, 1))
+    e_f, _ = scan_rows(coeff, p_f, w, n_state, chunk, d_block)
     e = flip_rows(e_f)
     # carry for the previous chunk: a_first * e_first
     w_ref[:] = (a[:n_state] * e[:n_state])
