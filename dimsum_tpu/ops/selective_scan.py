@@ -189,6 +189,49 @@ def scan_rows(a, x, h0, n_state: int, chunk: int, d_block: int,
     return h, h_prev
 
 
+def scan_rows_rev(a, p, w, n_state: int, chunk: int, d_block: int,
+                  sub: int = 16):
+    """Suffix (reverse-time) scan:  e_t = p_t + a_{t+1} e_{t+1}, with the
+    cross-chunk carry w entering as  e_last = p_last + w  (w is
+    a_first * e_first of the temporally NEXT chunk, computed there).
+
+    Flip-free (Mosaic has no `rev` lowering): coefficients are shifted one
+    row-block toward the past (g_t = a_{t+1}, g_last = 1) and the doubling
+    combines run downward; sub-chunks are processed last-to-first with the
+    first-row e of each later sub-chunk as the fold-in carry.
+
+    Returns (e_full (rows, d_block), w_out = a_first * e_first).
+    """
+    f32 = jnp.float32
+    sub = min(sub, chunk)
+    nsub = chunk // sub
+    srows = sub * n_state
+    rows = chunk * n_state
+    g = jnp.concatenate([a[n_state:], jnp.ones((n_state, d_block), f32)],
+                        axis=0)
+    carry = w
+    outs = [None] * nsub
+    for i in range(nsub - 1, -1, -1):  # static unroll, last sub-chunk first
+        gg = g[i * srows:(i + 1) * srows]
+        pp = p[i * srows:(i + 1) * srows]
+        k = 1
+        while k < sub:
+            sh = k * n_state
+            gp = jnp.concatenate(
+                [gg[sh:], jnp.ones((sh, d_block), f32)], axis=0)
+            pn = jnp.concatenate(
+                [pp[sh:], jnp.zeros((sh, d_block), f32)], axis=0)
+            pp = pp + gg * pn
+            gg = gg * gp
+            k *= 2
+        ee = pp + gg * jnp.tile(carry, (sub, 1))
+        outs[i] = ee
+        carry = ee[:n_state]
+    e = outs[0] if nsub == 1 else jnp.concatenate(outs, axis=0)
+    w_out = a[:n_state] * e[:n_state]
+    return e, w_out
+
+
 def _scan_kernel(*refs, **kw):
     """pallas_call entry point (kernels must return None)."""
     _scan_body(*refs, **kw)
@@ -396,6 +439,7 @@ def _pallas_fwd(u, delta, A, B, C, D, z, delta_bias, delta_softplus):
 
     batch, seqlen, dim = u.shape
     chunk, d_block = _pick_blocks(seqlen, dim)
+    chunk = min(chunk, 128)  # the backward holds ~7 row-arrays live in VMEM
     y, o, boundaries = selective_scan_fwd_train(
         u, delta, A, B, C, D, z, delta_bias, delta_softplus,
         chunk=chunk, d_block=d_block,
@@ -409,6 +453,7 @@ def _pallas_bwd(delta_softplus, res, g):
     u, delta, A, B, C, D, z, delta_bias, o, boundaries = res
     batch, seqlen, dim = u.shape
     chunk, d_block = _pick_blocks(seqlen, dim)
+    chunk = min(chunk, 128)  # must match the forward's boundary spacing
     du, ddelta, dA, dB, dC, dD, dz, dbias = selective_scan_bwd_pallas(
         u, delta, A, B, C, D, z, delta_bias, delta_softplus, o, boundaries,
         g, chunk=chunk, d_block=d_block,

@@ -45,7 +45,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from dimsum_tpu.ops.selective_scan import scan_rows
+from dimsum_tpu.ops.selective_scan import scan_rows, scan_rows_rev
 
 
 def _fwd_train_kernel(
@@ -128,21 +128,10 @@ def _bwd_kernel(
     # p = go (x) C  in (t, n) rows
     p = (go[:, None, :] * Cm[:, :, None]).reshape(rows, d_block)
 
-    # reverse recurrence e_t = p_t + a_{t+1} e_{t+1} via flipped doubling
-    # scan with coefficients shifted one step toward the past.
-    def flip_rows(m):
-        return jnp.flip(m.reshape(chunk, n_state, d_block), axis=0).reshape(
-            rows, d_block)
-
-    p_f = flip_rows(p)
-    a_f = flip_rows(a)
-    coeff = jnp.concatenate(
-        [jnp.ones((n_state, d_block), f32), a_f[: rows - n_state]], axis=0)
-    w = w_ref[:]  # carry from the (temporally) NEXT chunk
-    e_f, _ = scan_rows(coeff, p_f, w, n_state, chunk, d_block)
-    e = flip_rows(e_f)
-    # carry for the previous chunk: a_first * e_first
-    w_ref[:] = (a[:n_state] * e[:n_state])
+    # reverse recurrence e_t = p_t + a_{t+1} e_{t+1} as a flip-free suffix
+    # scan; w carries a_first * e_first from the (temporally) NEXT chunk.
+    e, w_out = scan_rows_rev(a, p, w_ref[:], n_state, chunk, d_block)
+    w_ref[:] = w_out
 
     da = e * h_prev
     e3 = e.reshape(chunk, n_state, d_block)
