@@ -9,10 +9,9 @@ constants gathered by timestep inside jit.
 
 from __future__ import annotations
 
-import dataclasses
 import enum
 import math
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, Sequence
 
 import numpy as np
 import jax

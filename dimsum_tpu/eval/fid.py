@@ -11,7 +11,6 @@ be held when only FID is computed.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional
 
 import numpy as np

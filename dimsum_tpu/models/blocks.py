@@ -18,9 +18,8 @@ surrounding ops.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import numpy as np
 import jax
@@ -26,9 +26,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from dimsum_tpu.models.blocks import (
-    DiMBlock,
     DiMBlockCombined,
-    DiMBlockRaw,
     DiMBlockWindow,
     DiTBlock,
     MixerBlockCore,

@@ -13,7 +13,7 @@ into the dense kernel), better TPU mapping.
 from __future__ import annotations
 
 import math
-from typing import Any, Optional
+from typing import Any
 
 import numpy as np
 import jax

@@ -10,8 +10,8 @@ from typing import Any, Tuple
 
 import jax.numpy as jnp
 
-from dimsum_tpu.models.dim import DiM, DiMConfig, DiM_models
-from dimsum_tpu.models.dit import DiT, DiTConfig, DiT_models
+from dimsum_tpu.models.dim import DiM, DiM_models
+from dimsum_tpu.models.dit import DiT, DiT_models
 
 
 def create_model(args: Any) -> Tuple[Any, Any]:

@@ -19,7 +19,6 @@ import dataclasses
 import math
 from typing import Any, Optional
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

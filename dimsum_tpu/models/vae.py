@@ -15,7 +15,7 @@ fp32 -- bf16 VAE decode visibly shifts FID (SURVEY.md 7 hard parts).
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Sequence
 
 import numpy as np
 import jax

@@ -13,8 +13,7 @@ Drift signature: drift(x, t_vec) -> dx/dt, with t_vec shaped (batch,).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -10,8 +10,6 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Any
-
 import jax.numpy as jnp
 
 from dimsum_tpu.ops.dct import dct_2d, idct_2d

@@ -66,7 +66,7 @@ def main():
 
     from dimsum_tpu.models.factory import create_model
     from dimsum_tpu.models.dim import forward_with_cfg
-    from dimsum_tpu.parallel import make_mesh, make_sample_step
+    from dimsum_tpu.parallel import make_mesh
     from dimsum_tpu.transport import Sampler
 
     if args.label_dropout < 0:

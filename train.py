@@ -12,7 +12,6 @@ all-reduce is a single psum inside the jitted step.
 from __future__ import annotations
 
 import argparse
-import json
 import logging
 import os
 import time
