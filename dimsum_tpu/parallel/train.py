@@ -53,6 +53,9 @@ def warmup_cosine_schedule(lr: float, min_lr: float, warmup_epochs: int,
 
 
 def create_train_state(params, optimizer) -> TrainState:
+    # copy params: the train step donates the state's buffers, and the
+    # caller's arrays must survive (one-time cost at startup)
+    params = jax.tree.map(jnp.copy, params)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,

@@ -33,20 +33,23 @@ def test_mesh_and_train_step_8dev():
                         y[:1])["params"]
     opt = create_optimizer(1e-4)
     state = create_train_state(params, opt)
+    # keep host copies: the step donates its input state buffers
+    ref_params = jax.tree.map(np.asarray, state.params)
+    ref_ema = jax.tree.map(np.asarray, state.ema_params)
     step = make_train_step(model, transport, opt, mesh=mesh)
     state2, metrics = step(state, x, y, jax.random.PRNGKey(2))
     assert int(state2.step) == 1
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(metrics["grad_norm"]))
     # params actually moved
-    delta = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
-                         state.params, state2.params)
+    delta = jax.tree.map(lambda a, b: float(jnp.abs(jnp.asarray(a) - b).max()),
+                         ref_params, state2.params)
     assert max(jax.tree.leaves(delta)) > 0
 
     # EMA moved a tiny bit toward params
     d_ema = max(jax.tree.leaves(jax.tree.map(
-        lambda a, b: float(jnp.abs(a - b).max()),
-        state.ema_params, state2.ema_params)))
+        lambda a, b: float(jnp.abs(jnp.asarray(a) - b).max()),
+        ref_ema, state2.ema_params)))
     assert 0 < d_ema < 1e-2
 
 
@@ -59,14 +62,16 @@ def test_dp_matches_single_device_gradients():
     params = model.init(jax.random.PRNGKey(1), x[:1], jnp.zeros((1,)),
                         y[:1])["params"]
     opt = create_optimizer(1e-2)
-    s0 = create_train_state(params, opt)
 
     mesh = make_mesh(data=8, model=1)
     step_dp = make_train_step(model, transport, opt, mesh=mesh)
-    s_dp, m_dp = step_dp(s0, x, y, jax.random.PRNGKey(2))
+    # fresh states per call: the step donates its input buffers
+    s_dp, m_dp = step_dp(create_train_state(params, opt), x, y,
+                         jax.random.PRNGKey(2))
     # The dp step folds in the axis index, so losses differ from the
     # single-device run; just check determinism of the dp path itself.
-    s_dp2, m_dp2 = step_dp(s0, x, y, jax.random.PRNGKey(2))
+    s_dp2, m_dp2 = step_dp(create_train_state(params, opt), x, y,
+                           jax.random.PRNGKey(2))
     np.testing.assert_allclose(float(m_dp["loss"]), float(m_dp2["loss"]),
                                rtol=0)
     l1 = jax.tree.leaves(s_dp.params)
