@@ -129,6 +129,7 @@ def compute_inception_score(probs: np.ndarray, num_splits: int = 10):
     """IS from softmax probabilities (reference inception_score.py)."""
     scores = []
     n = probs.shape[0]
+    num_splits = max(1, min(num_splits, n))  # avoid empty splits
     for i in range(num_splits):
         part = probs[i * n // num_splits: (i + 1) * n // num_splits]
         kl = part * (np.log(part + 1e-12)

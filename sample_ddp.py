@@ -113,8 +113,11 @@ def main():
 
     if mesh is not None:
         from jax import shard_map
-        from jax.sharding import PartitionSpec as P
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
+        # replicate the weights across the mesh (they may have been
+        # restored onto a single device)
+        params = jax.device_put(params, NamedSharding(mesh, P()))
         run = jax.jit(shard_map(
             local_sample, mesh=mesh,
             in_specs=(P(), P("data"), P("data"), P()),
