@@ -105,11 +105,13 @@ def main():
                 f"{len(loader)} steps/epoch, devices: {n_dev}")
 
     vae = vae_params = None
-    if not use_latent:
-        if not args.vae_ckpt:
-            raise SystemExit(
-                "pixel-space dataset needs --vae-ckpt (local diffusers VAE "
-                "weights); or precompute latents with preprocess.py")
+    if not use_latent and not args.vae_ckpt:
+        raise SystemExit(
+            "pixel-space dataset needs --vae-ckpt (local diffusers VAE "
+            "weights); or precompute latents with preprocess.py")
+    if args.vae_ckpt:
+        # loaded even for latent datasets: sample grids and in-training FID
+        # decode through it (reference train.py:196 loads it always)
         from dimsum_tpu.models.vae import load_vae
 
         vae, vae_params = load_vae(args.vae_ckpt)
