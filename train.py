@@ -256,11 +256,15 @@ def _plot_samples(args, model, state, transport, vae, vae_params, exp_dir,
                                 cfg.img_resolution))
     y = jax.random.randint(rng, (n,), 0, max(args.num_classes, 1))
 
-    def model_fn(x, t, **kw):
-        return model.apply({"params": state.ema_params}, x, t, **kw)
+    @jax.jit
+    def run(params, z, y):
+        def model_fn(x, t, **kw):
+            return model.apply({"params": params}, x, t, **kw)
 
-    lat = fn(z, model_fn, y=y)
-    imgs = np.asarray(vae.apply(vae_params, lat, method=vae.decode))
+        lat = fn(z, model_fn, y=y)
+        return vae.apply(vae_params, lat, method=vae.decode)
+
+    imgs = np.asarray(run(state.ema_params, z, y))
     imgs = np.clip((imgs + 1) / 2 * 255, 0, 255).astype(np.uint8)
     side = int(np.ceil(np.sqrt(n)))
     H, W = imgs.shape[2], imgs.shape[3]
