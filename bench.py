@@ -27,7 +27,7 @@ A100_BASELINE_IMG_PER_SEC = 1.0
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=16,
+    ap.add_argument("--batch", type=int, default=12,
                     help="images per chip (CFG doubles the model batch)")
     ap.add_argument("--steps", type=int, default=250)
     ap.add_argument("--iters", type=int, default=3)
