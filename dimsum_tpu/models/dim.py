@@ -249,6 +249,7 @@ class DiM(nn.Module):
                                    dtype=cfg.dtype, name="attn_block")
 
         residual = None
+        freq_residual = None
         attn_idx = 0
         for i in range(cfg.eff_depth):
             block = self._make_block(i, cfg, paths, paths2)
@@ -257,6 +258,21 @@ class DiM(nn.Module):
                     lambda mdl, *a: mdl(*a))(block, x, residual, c)
             else:
                 x, residual = block(x, residual, c)
+            if cfg.enable_fourier_layers:
+                # auxiliary frequency blocks after each main block
+                # (reference :1699-1723,1847-1853; NOTE the reference's own
+                # construction crashes -- gen_paths arity bug at :1702 --
+                # so this is the working realization of that intent)
+                x, freq_residual = WaveDiMBlock(
+                    dim=cfg.hidden_size, mixer_kwargs=dict(
+                        layer_idx=i, scan_type="none",
+                        d_cond=cfg.hidden_size, scan_impl=cfg.scan_impl),
+                    rms_norm=cfg.rms_norm,
+                    residual_in_fp32=cfg.residual_in_fp32,
+                    reverse=(i % 2 > 0), transpose=False,
+                    scanning_continuity=cfg.scanning_continuity,
+                    window_scan=False, dtype=cfg.dtype,
+                    name=f"fourier_blocks_{i}")(x, freq_residual, c)
             if attn_every > 0 and (i + 1) % attn_every == 0:
                 if cfg.use_independent_attn:
                     if attn_idx < cfg.num_attn_blocks:

@@ -160,6 +160,27 @@ def main():
     if use_cfg:
         samples = samples[:n]
 
+    if args.mode == "ODE" and getattr(args, "likelihood", False):
+        # log-likelihood of the generated latents under the flow
+        # (reference sample.py --likelihood; Hutchinson-trace reverse ODE)
+        lik_fn = sampler.sample_ode_likelihood(
+            num_steps=args.num_sampling_steps, atol=args.atol,
+            rtol=args.rtol)
+
+        @jax.jit
+        def lik(params, xx, yy):
+            def fn(x_, t_, **kw):
+                return model_fn_p(params, x_, t_, **kw)
+
+            return lik_fn(xx, fn, jax.random.PRNGKey(args.seed + 1),
+                          y=yy)[0]
+
+        logp = np.asarray(lik(params, jnp.asarray(samples), y[:n]))
+        dims = float(np.prod(samples.shape[1:]))
+        bpd = -logp / dims / np.log(2)
+        print(f"log-likelihood: mean logp={logp.mean():.2f} "
+              f"({bpd.mean():.4f} bits/dim)")
+
     if args.measure_time:
         reps = 5
         run(params, z, y)

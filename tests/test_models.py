@@ -214,3 +214,17 @@ def test_dim_l2_param_count():
     n = sum(int(np.prod(v.shape)) for v in
             jax.tree.leaves(params))
     assert 430e6 < n < 490e6, f"param count {n/1e6:.1f}M"
+
+
+def test_enable_fourier_layers():
+    """Auxiliary frequency blocks (working realization of the reference's
+    enable_fourier_layers, whose own construction crashes: SURVEY 3.4)."""
+    cfg = small_dim_cfg(enable_fourier_layers=True, depth=2)
+    model = DiM(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 16, 16))
+    params = model.init(jax.random.PRNGKey(1), x, jnp.array([0.5]),
+                        jnp.array([1]))
+    assert "fourier_blocks_0" in params["params"]
+    out = model.apply(params, x, jnp.array([0.5]), jnp.array([1]))
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
