@@ -36,6 +36,7 @@ class DiTConfig:
     num_classes: int = 1000
     learn_sigma: bool = False
     dtype: Any = jnp.float32
+    grad_checkpoint: bool = False  # reference set_gradient_checkpointing
 
     @property
     def out_channels(self) -> int:
@@ -77,9 +78,13 @@ class DiT(nn.Module):
 
         for i in range(cfg.depth):
             # Plain DiT uses a non-gated MLP (timm Mlp), see models_dit.py:127
-            x = DiTBlock(cfg.hidden_size, cfg.num_heads, cfg.mlp_ratio,
-                         use_gated_mlp=False, dtype=cfg.dtype,
-                         name=f"blocks_{i}")(x, c)
+            block = DiTBlock(cfg.hidden_size, cfg.num_heads, cfg.mlp_ratio,
+                             use_gated_mlp=False, dtype=cfg.dtype,
+                             name=f"blocks_{i}")
+            if cfg.grad_checkpoint:
+                x = nn.remat(lambda mdl, *a: mdl(*a))(block, x, c)
+            else:
+                x = block(x, c)
 
         x = FinalLayer(cfg.patch_size, cfg.out_channels, dtype=cfg.dtype,
                        name="final_layer")(x, c)

@@ -154,10 +154,13 @@ def convert_torch_state_dict(
 
 
 def load_torch_checkpoint(path: str, key: str = "ema",
-                          params_template=None, strict: bool = True):
+                          params_template=None, strict: bool = True,
+                          adapt: bool = False):
     """Load a reference .pt checkpoint via torch (CPU) and convert.  The
     published inference checkpoints store weights under the "ema" key
-    (reference download.py:26-27)."""
+    (reference download.py:26-27).  With adapt=True, resolution/patch
+    mismatches are fixed by pos-embed interpolation and shape-adaptive
+    slicing (reference train.py:205-236 warm-start behavior)."""
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
@@ -165,6 +168,9 @@ def load_torch_checkpoint(path: str, key: str = "ema",
         ckpt = ckpt[key]
     sd = {k: v.float().numpy() for k, v in ckpt.items()
           if hasattr(v, "numpy")}
+    if adapt and params_template is not None:
+        params = convert_torch_state_dict(sd, params_template, strict=False)
+        return adapt_checkpoint(params, params_template)
     return convert_torch_state_dict(sd, params_template, strict=strict)
 
 

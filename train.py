@@ -125,7 +125,7 @@ def main():
                         jnp.zeros((1,)), jnp.zeros((1,), jnp.int32))["params"]
     if args.model_ckpt:
         params = load_torch_checkpoint(args.model_ckpt, key="model",
-                                       params_template=params)
+                                       params_template=params, adapt=True)
         logger.info(f"warm-started from {args.model_ckpt}")
     state = create_train_state(params, optimizer)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
