@@ -233,3 +233,27 @@ def test_convert_dit_state_dict():
     out = model.apply({"params": params}, x, jnp.full((1,), 0.5),
                       jnp.zeros((1,), jnp.int32))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_orbax_roundtrip_sharded(tmp_path):
+    """Checkpointing must survive mesh-sharded arrays (multi-chip train
+    states): save sharded, restore into the same sharded template."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dimsum_tpu.parallel import (
+        create_optimizer, create_train_state, make_mesh,
+    )
+
+    mesh = make_mesh(data=8, model=1)
+    model = DiM(tiny_cfg())
+    x = jnp.zeros((1, 4, 16, 16))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,)),
+                        jnp.zeros((1,), jnp.int32))["params"]
+    params = jax.device_put(params, NamedSharding(mesh, P()))
+    state = create_train_state(params, create_optimizer())
+    save_checkpoint(str(tmp_path / "ck"), state, step=1)
+    restored, step = restore_checkpoint(str(tmp_path / "ck"), state)
+    assert step == 1
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
