@@ -279,3 +279,119 @@ def test_combined_block_matches_torch_oracle_reverse():
 
 def test_combined_block_matches_torch_oracle_transpose():
     _run_case(reverse=False, transpose=True)
+
+
+# ----------------------- combined_fourier (DCT) variant ---------------------
+
+
+def t_zigzag_mamba(sd, x, perm, perm_rev):
+    """Mixer with zigzag gathers (reference mamba_simple.py:627-657):
+    permute tokens after in_proj (equivalently before: in_proj is
+    per-token), inverse-permute after out_proj."""
+    xp = x[:, perm, :]
+    out = torch_mamba_forward(sd, xp)
+    return out[:, perm_rev, :]
+
+
+def t_dct_patch(x, k):
+    """(B, C, H, W) -> (B, C*k*k, H/k, W/k), channel order (c, v, u)."""
+    n = k
+    kk = np.arange(n)[:, None]
+    xx = np.arange(n)[None, :]
+    M = np.sqrt(2.0 / n) * np.cos((2 * xx + 1) * kk * np.pi / (2 * n))
+    M[0] /= np.sqrt(2.0)
+    M = torch.tensor(M, dtype=torch.float64)
+    B, C, H, W = x.shape
+    blk = x.reshape(B, C, H // k, k, W // k, k)
+    out = torch.einsum("bchywx,vy,ux->bcvuhw", blk, M, M)
+    return out.reshape(B, C * k * k, H // k, W // k)
+
+
+def t_idct_patch(x, k):
+    n = k
+    kk = np.arange(n)[:, None]
+    xx = np.arange(n)[None, :]
+    M = np.sqrt(2.0 / n) * np.cos((2 * xx + 1) * kk * np.pi / (2 * n))
+    M[0] /= np.sqrt(2.0)
+    M = torch.tensor(M, dtype=torch.float64)
+    B, CR, H, W = x.shape
+    C = CR // (k * k)
+    coef = x.reshape(B, C, k, k, H, W)
+    blk = torch.einsum("bcvuhw,vy,ux->bchywx", coef, M, M)
+    return blk.reshape(B, C, H * k, W * k)
+
+
+def test_combined_fourier_block_matches_torch_oracle():
+    from dimsum_tpu.ops.scan_orders import jpeg_zigzag, reverse_permut_np
+
+    rng = np.random.default_rng(3)
+    sd = make_block_sd(rng)
+    x = rng.standard_normal((2, L, D)).astype(np.float32)
+    c = rng.standard_normal((2, D)).astype(np.float32)
+
+    # oracle: same skeleton, DCT branch with jpeg_2 zigzag mixer
+    xt = torch.tensor(x, dtype=torch.float64)
+    ct = torch.tensor(c, dtype=torch.float64)
+    h = t_rms(xt, torch.tensor(sd["norm.weight"], dtype=torch.float64))
+    x1, x2 = h[..., :HALF], h[..., HALF:]
+
+    def branch_sd(br):
+        return {k[len(br) + 7:]: v for k, v in sd.items()
+                if k.startswith(f"{br}.mixer.")}
+
+    sh, sc, g = t_adaln(sd, "spatial_mamba.adaLN_modulation.1", ct, 3)
+    mix = torch.tensor(torch_mamba_forward(
+        branch_sd("spatial_mamba"), t_modulate(x1, sh, sc).numpy()),
+        dtype=torch.float64)
+    x1_out = x1 + g.unsqueeze(1) * mix
+
+    # DCT branch (dct_size=4, reverse/transpose False inside combined)
+    k4 = 4
+    hf = x2.permute(0, 2, 1).reshape(-1, HALF, GRID, GRID)
+    hf = t_dct_patch(hf, k4)
+    # "b (c p1 p2) h w -> b (h p1 w p2) c"
+    hh = GRID // k4
+    hf = hf.reshape(-1, HALF, k4, k4, hh, hh).permute(
+        0, 4, 2, 5, 3, 1).reshape(-1, L, HALF)
+    sh, sc, g = t_adaln(sd, "freq_mamba.adaLN_modulation.1", ct, 3)
+    perms = jpeg_zigzag(GRID)[:2]
+    # layer_idx 0 uses path 0 of the depth-tiled jpeg_2 list
+    perm = perms[0]
+    perm_rev = reverse_permut_np(perm)
+    mix = torch.tensor(t_zigzag_mamba(
+        branch_sd("freq_mamba"),
+        t_modulate(hf, sh, sc).numpy(), perm, perm_rev),
+        dtype=torch.float64)
+    hf = hf + g.unsqueeze(1) * mix
+    hf = hf.reshape(-1, hh, k4, hh, k4, HALF).permute(
+        0, 5, 2, 4, 1, 3).reshape(-1, HALF * k4 * k4, hh, hh)
+    x2_out = t_idct_patch(hf, k4).reshape(-1, HALF, L).permute(0, 2, 1)
+
+    fused = t_cross_attn(sd, x1_out, x2_out)
+    h2 = h + fused
+    sh, sc, g = t_adaln(sd, "adaLN_modulation.1", ct, 3)
+    n2 = t_rms(h2, torch.tensor(sd["norm_2.weight"], dtype=torch.float64))
+    w12 = torch.tensor(sd["mlp.w12.weight"], dtype=torch.float64)
+    b12 = torch.tensor(sd["mlp.w12.bias"], dtype=torch.float64)
+    w3 = torch.tensor(sd["mlp.w3.weight"], dtype=torch.float64)
+    b3 = torch.tensor(sd["mlp.w3.bias"], dtype=torch.float64)
+    hid = t_modulate(n2, sh, sc) @ w12.T + b12
+    a, bgate = hid.chunk(2, dim=-1)
+    mlp = (F.gelu(a, approximate="tanh") * bgate) @ w3.T + b3
+    want = (h2 + g.unsqueeze(1) * mlp).numpy()
+
+    from dimsum_tpu.ops.scan_orders import build_layer_paths
+
+    fwd, bwd = build_layer_paths(GRID, "jpeg_2", 1)
+    blk = DiMBlockCombined(
+        dim=D, mixer_kwargs=dict(scan_impl="xla", d_cond=D),
+        mixer_kwargs_2=dict(scan_impl="xla", d_cond=D, layer_idx=0,
+                            scan_type="jpeg_2", zigzag_paths=np.asarray(fwd),
+                            zigzag_paths_reverse=np.asarray(bwd)),
+        rms_norm=True, freq_variant="dct")
+    template = blk.init(jax.random.PRNGKey(0), jnp.asarray(x), None,
+                        jnp.asarray(c))["params"]
+    params = convert_torch_state_dict(sd, template, strict=True)
+    got, _ = blk.apply({"params": params}, jnp.asarray(x), None,
+                       jnp.asarray(c))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
