@@ -165,6 +165,8 @@ def scan_rows(a, x, h0, n_state: int, chunk: int, d_block: int,
     """
     f32 = jnp.float32
     sub = min(sub, chunk)
+    if chunk % sub != 0:  # odd chunk lengths: one full-width doubling scan
+        sub = chunk
     nsub = chunk // sub
     srows = sub * n_state
     h_prev = h0
@@ -204,6 +206,8 @@ def scan_rows_rev(a, p, w, n_state: int, chunk: int, d_block: int,
     """
     f32 = jnp.float32
     sub = min(sub, chunk)
+    if chunk % sub != 0:  # odd chunk lengths: one full-width doubling scan
+        sub = chunk
     nsub = chunk // sub
     srows = sub * n_state
     rows = chunk * n_state

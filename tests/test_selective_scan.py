@@ -172,3 +172,18 @@ def test_state_update_matches_scan_step():
     want_y = want_y * (z / (1 + np.exp(-z)))
     np.testing.assert_allclose(new_state, want_state, rtol=2e-3, atol=1e-3)
     np.testing.assert_allclose(y, want_y, rtol=2e-3, atol=1e-3)
+
+
+def test_pallas_interpret_odd_seqlen():
+    """L=63 -> chunk=63 (not divisible by the 16-step sub-chunk): the scan
+    must fall back to a full-width schedule rather than dropping steps."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(7)
+    u, delta, A, B, C, D, z, bias = make_inputs(
+        rng, batch=1, L=63, dim=128, n=8
+    )
+    want = selective_scan_ref(u, delta, A, B, C, D, z, bias, True)
+    with pltpu.force_tpu_interpret_mode():
+        got = selective_scan_pallas(u, delta, A, B, C, D, z, bias, True)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-3)
