@@ -29,6 +29,10 @@ def add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--bimamba-type", type=str, default="v2",
                    choices=BIMAMBA_CHOICES)
     p.add_argument("--cond-mamba", action="store_true")
+    p.add_argument("--cond-init", action="store_true",
+                   help="seed the scan state with cond_proj(c) (the "
+                        "reference's cond_proj is dead in its fast path; "
+                        "this makes the conditioning pathway live)")
     p.add_argument("--scanning-continuity", action="store_true")
     p.add_argument("--enable-fourier-layers", action="store_true")
     p.add_argument("--rms-norm", action="store_true")

@@ -71,6 +71,8 @@ class DiMConfig:
     block_type: str = "linear"    # linear|raw|wave|window|combined|
     #                               combined_fourier|combined_einfft
     cond_mamba: bool = False
+    use_cond_init: bool = False  # opt-in: actually seed the scan state with
+    #                              cond_proj(c) (dead in the reference; 2.1)
     scanning_continuity: bool = False
     enable_fourier_layers: bool = False
     learnable_pe: bool = False
@@ -135,6 +137,7 @@ class DiM(nn.Module):
         )
         if cfg.cond_mamba:
             mk["d_cond"] = cfg.hidden_size
+            mk["use_cond_init"] = cfg.use_cond_init
         zig = cfg.scan_type.split("_")[0] in ("zigma", "sweep", "jpeg")
         if zig:
             mk["zigzag_paths"] = paths[0]

@@ -33,6 +33,7 @@ def create_model(args: Any) -> Tuple[Any, Any]:
             pe_type=args.pe_type,
             block_type=args.block_type,
             cond_mamba=args.cond_mamba,
+            use_cond_init=getattr(args, "cond_init", False),
             scanning_continuity=args.scanning_continuity,
             enable_fourier_layers=args.enable_fourier_layers,
             drop_path=args.drop_path,
