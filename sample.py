@@ -161,6 +161,10 @@ def main():
         samples = samples[:n]
 
     if args.mode == "ODE" and getattr(args, "likelihood", False):
+        if use_cfg:
+            raise SystemExit(
+                "--likelihood requires --cfg-scale 1.0 (guided likelihood "
+                "is ill-defined; the reference makes the same restriction)")
         # log-likelihood of the generated latents under the flow
         # (reference sample.py --likelihood; Hutchinson-trace reverse ODE)
         lik_fn = sampler.sample_ode_likelihood(
