@@ -126,9 +126,14 @@ def center_crop_arr(pil_image, image_size: int):
 
 
 class ImageFolderDataset(Dataset):
-    """Recursively collects images; labels from first-level subfolder names
-    (sorted) when `use_labels`.  Outputs CHW float32 in [-1, 1], optional
-    hflip doubling (the eval toolbox's xflip convention)."""
+    """Images from a directory tree OR a .zip archive (the eval toolbox's
+    two source kinds, reference training/dataset.py:150-199).
+
+    Labels come from a `dataset.json` manifest when present
+    ({"labels": [[relative_fname, int], ...]}, the StyleGAN-ADA convention
+    written by tools/dataset_tools.py), else from first-level subfolder
+    names (sorted) when `use_labels`.  Outputs CHW float32 in [-1, 1],
+    optional hflip doubling (the eval toolbox's xflip convention)."""
 
     EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
 
@@ -139,22 +144,69 @@ class ImageFolderDataset(Dataset):
         self.image_size = image_size
         self.xflip = xflip
         self.raw_uint8 = raw_uint8
-        files = []
-        for dirpath, _, names in sorted(os.walk(root)):
-            for n in sorted(names):
-                if n.lower().endswith(self.EXTS):
-                    files.append(os.path.join(dirpath, n))
+        self._is_zip = os.path.isfile(root) and root.lower().endswith(".zip")
+        self._zf = None
+        manifest = None
+        if self._is_zip:
+            import json
+            import zipfile
+
+            with zipfile.ZipFile(root) as zf:
+                names = sorted(zf.namelist())
+                if "dataset.json" in names:
+                    manifest = json.loads(
+                        zf.read("dataset.json"))["labels"]
+            files = [n for n in names
+                     if n.lower().endswith(self.EXTS)]
+        else:
+            mpath = os.path.join(root, "dataset.json")
+            if os.path.isfile(mpath):
+                import json
+
+                with open(mpath) as f:
+                    manifest = json.load(f)["labels"]
+            files = []
+            for dirpath, _, names in sorted(os.walk(root)):
+                for n in sorted(names):
+                    if n.lower().endswith(self.EXTS):
+                        files.append(os.path.join(dirpath, n))
         if not files:
             raise FileNotFoundError(f"no images under {root}")
         self.files = files
         self.labels = None
-        if use_labels:
+        if manifest is not None:
+            lut = {k.replace("\\", "/"): int(v) for k, v in manifest}
+
+            def rel(f):
+                return (f if self._is_zip
+                        else os.path.relpath(f, root)).replace(os.sep, "/")
+
+            self.labels = [lut.get(rel(f), 0) for f in files]
+        elif use_labels and not self._is_zip:
             classes = sorted({os.path.relpath(f, root).split(os.sep)[0]
                               for f in files})
             cls_idx = {c: i for i, c in enumerate(classes)}
             self.labels = [
                 cls_idx[os.path.relpath(f, root).split(os.sep)[0]]
                 for f in files]
+
+    def _open(self, fname):
+        from io import BytesIO
+
+        from PIL import Image
+
+        if self._is_zip:
+            import zipfile
+
+            if self._zf is None:  # lazily per worker/process
+                self._zf = zipfile.ZipFile(self.root)
+            return Image.open(BytesIO(self._zf.read(fname)))
+        return Image.open(fname)
+
+    def __getstate__(self):  # zip handles don't pickle across workers
+        d = dict(self.__dict__)
+        d["_zf"] = None
+        return d
 
     def __len__(self):
         return len(self.files) * (2 if self.xflip else 1)
@@ -163,9 +215,7 @@ class ImageFolderDataset(Dataset):
         base = len(self.files)
         flip = idx >= base
         fidx = idx - base if flip else idx
-        from PIL import Image
-
-        with Image.open(self.files[fidx]) as im:
+        with self._open(self.files[fidx]) as im:
             im = im.convert("RGB")
             arr = center_crop_arr(im, self.image_size)
         if flip:

@@ -148,6 +148,37 @@ def is50k(opts):
     return {"is50k_mean": mean, "is50k_std": std}
 
 
+def _ppl(opts, sampling: str, crop: bool, num_samples: int) -> float:
+    from dimsum_tpu.eval.ppl import compute_ppl
+
+    return compute_ppl(
+        sampler_fn=opts["sampler_fn"], lpips_fn=opts["lpips_fn"],
+        z_shape=opts["z_shape"],
+        num_samples=opts.get("num_samples", num_samples),
+        epsilon=1e-4, sampling=sampling, crop=crop,
+        batch_size=opts.get("batch_size", 2),
+        num_classes=opts.get("num_classes", 0),
+        seed=opts.get("seed", 0))
+
+
+@register_metric
+def ppl2_zend(opts):
+    """The reference's headline ppl2_wend (metric_main.py:151-155) in the
+    diffusion latent space: 50k samples, endpoints, no crop.  w-space does
+    not exist for DiM (see eval/ppl.py scope note)."""
+    return {"ppl2_zend": _ppl(opts, "end", False, 50_000)}
+
+
+@register_metric
+def ppl_zend(opts):
+    return {"ppl_zend": _ppl(opts, "end", True, 50_000)}
+
+
+@register_metric
+def ppl_zfull(opts):
+    return {"ppl_zfull": _ppl(opts, "full", True, 50_000)}
+
+
 def _fid(opts, n: int) -> float:
     real = dataset_feature_stats(opts["real_dataset"], opts["detector"],
                                  opts.get("batch_size", 64),

@@ -427,8 +427,15 @@ class EinFFT(nn.Module):
 
 class SwitchMLP(nn.Module):
     """Top-1 routed MoE FFN (reference switch_mlp.py).  All experts are local
-    (no expert parallelism in the reference); routing computes every expert
-    densely and masks -- the TPU-friendly dense dispatch for small E.
+    in the reference (no expert parallelism); the default path computes every
+    expert densely and masks -- the TPU-friendly dense dispatch for small E.
+
+    TPU extension: with `ep_axis` set (and `ep_mesh` a (data, model) Mesh),
+    the experts live as stacked (E, ...) parameters sharded over the mesh's
+    model axis and tokens go through Switch-Transformer capacity dispatch
+    with GSPMD sharding constraints -- XLA inserts the cross-chip exchange
+    (parallel/moe_ep.py::switch_ep_gspmd).  Exact parity with the dense path
+    whenever capacity >= tokens routed to the busiest expert.
     """
 
     dim: int
@@ -436,12 +443,40 @@ class SwitchMLP(nn.Module):
     add_bias_linear: bool = False
     gated_linear_unit: bool = True
     routing_mode: str = "top1"
+    ep_axis: Optional[str] = None
+    ep_mesh: Any = None
+    capacity_factor: float = 2.0
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, c=None):
         B, L, D = x.shape
         logits = nn.Dense(self.num_moe_experts, name="router")(x)
+
+        if self.ep_axis is not None:
+            from dimsum_tpu.parallel.moe_ep import switch_ep_gspmd
+
+            E = self.num_moe_experts
+            hidden = 4 * self.dim
+            fc1_out = hidden * 2 if self.gated_linear_unit else hidden
+            w1 = self.param("experts_fc1_kernel",
+                            nn.initializers.lecun_normal(),
+                            (E, D, fc1_out))
+            w2 = self.param("experts_fc2_kernel",
+                            nn.initializers.lecun_normal(),
+                            (E, hidden, self.dim))
+            b1 = b2 = None
+            if self.add_bias_linear:
+                b1 = self.param("experts_fc1_bias", nn.initializers.zeros,
+                                (E, fc1_out))
+                b2 = self.param("experts_fc2_bias", nn.initializers.zeros,
+                                (E, self.dim))
+            return switch_ep_gspmd(
+                x, logits, w1, w2, b1, b2, mesh=self.ep_mesh,
+                axis=self.ep_axis, capacity_factor=self.capacity_factor,
+                gated=self.gated_linear_unit,
+                routing_mode=self.routing_mode)
+
         if self.routing_mode == "sinkhorn":
             route = jax.nn.sigmoid(logits)
         else:
@@ -470,6 +505,9 @@ class MoEBlock(nn.Module):
     add_bias_linear: bool = False
     gated_linear_unit: bool = True
     routing_mode: str = "top1"
+    ep_axis: Optional[str] = None
+    ep_mesh: Any = None
+    capacity_factor: float = 2.0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -479,7 +517,9 @@ class MoEBlock(nn.Module):
             hidden_states, residual, residual_in_fp32=self.residual_in_fp32)
         hidden_states = SwitchMLP(
             self.dim, self.num_moe_experts, self.add_bias_linear,
-            self.gated_linear_unit, self.routing_mode, dtype=self.dtype,
+            self.gated_linear_unit, self.routing_mode,
+            ep_axis=self.ep_axis, ep_mesh=self.ep_mesh,
+            capacity_factor=self.capacity_factor, dtype=self.dtype,
             name="mixer")(hidden_states)
         return hidden_states, residual
 

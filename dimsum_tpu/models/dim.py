@@ -63,6 +63,9 @@ class DiMConfig:
     fused_add_norm: bool = False  # kept for config parity; jnp always fuses
     scan_type: str = "none"       # "none" | "v2" | "<zoo>_<n>"
     num_moe_experts: int = 8
+    moe_ep_axis: Optional[str] = None  # TPU extension: shard experts over
+    moe_ep_mesh: Any = None            # this mesh axis (GSPMD EP; blocks.py)
+    moe_capacity_factor: float = 2.0
     add_bias_linear: bool = False
     gated_linear_unit: bool = True
     routing_mode: str = "top1"
@@ -159,7 +162,9 @@ class DiM(nn.Module):
                 num_moe_experts=cfg.num_moe_experts,
                 add_bias_linear=cfg.add_bias_linear,
                 gated_linear_unit=cfg.gated_linear_unit,
-                routing_mode=cfg.routing_mode, dtype=cfg.dtype,
+                routing_mode=cfg.routing_mode,
+                ep_axis=cfg.moe_ep_axis, ep_mesh=cfg.moe_ep_mesh,
+                capacity_factor=cfg.moe_capacity_factor, dtype=cfg.dtype,
                 name=f"blocks_{i}")
 
         mk, mk2 = self._mixer_kwargs(i, cfg, paths, paths2)

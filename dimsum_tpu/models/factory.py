@@ -14,12 +14,15 @@ from dimsum_tpu.models.dim import DiM, DiM_models
 from dimsum_tpu.models.dit import DiT, DiT_models
 
 
-def create_model(args: Any) -> Tuple[Any, Any]:
+def create_model(args: Any, ep_mesh: Any = None) -> Tuple[Any, Any]:
     """Returns (module, config).  `args` mirrors the reference argparse
-    namespace (train.py:496-602)."""
+    namespace (train.py:496-602).  `ep_mesh` (TPU extension): a (data,
+    model) Mesh -- MoE experts are then sharded over its 'model' axis."""
     dtype = jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
     if "DiM" in args.model:
         cfg = DiM_models[args.model](
+            moe_ep_axis="model" if ep_mesh is not None else None,
+            moe_ep_mesh=ep_mesh,
             img_resolution=args.image_size // 8,
             in_channels=args.num_in_channels,
             label_dropout=args.label_dropout,

@@ -310,22 +310,28 @@ def _scan_kernel_with_state(
     last_ref[0] = h[h.shape[0] - kw["n_state"]:, :]
 
 
-def _pick_blocks(seqlen: int, dim: int):
-    """Choose (chunk, d_block) so chunk divides L and d_block divides dim."""
-    # Keep (chunk * n_state, d_block) fp32 scan arrays comfortably in VMEM:
-    # 128 lanes x 256*16 sublanes x 4B = 2 MiB per array.
-    d_block = dim
-    for cand in (128, 256, 512):
-        if dim % cand == 0:
-            d_block = cand
-            break
+def _pick_blocks(seqlen: int, dim: int, n_state: int = 16):
+    """Choose (chunk, d_block) so chunk divides L and d_block divides dim.
+
+    The kernel's live row-arrays are (chunk * n_state, d_block) fp32; cap
+    the product chunk*n_state at 4096 (128 lanes x 4096 sublanes x 4B =
+    2 MiB per array) so dstate up to 256 -- the reference kernel's maximum
+    (selective_scan.cpp:262) -- stays within the ~16 MB VMEM budget.
+
+    dims that are not a multiple of 128 return d_block=-1; the dispatcher
+    pads the channel axis (see _pad_dim in selective_scan_pallas)."""
+    if dim % 128 != 0:
+        d_block = -1  # caller pads to a lane multiple
     else:
-        if dim > 512:
-            d_block = -1  # caller must pad
-    chunk = min(seqlen, 256)
+        d_block = dim
+        for cand in (128, 256, 512):
+            if dim % cand == 0:
+                d_block = cand
+                break
+    chunk = min(seqlen, max(8, 4096 // max(n_state, 1)))
     while seqlen % chunk != 0:
         chunk //= 2
-    return chunk, d_block
+    return max(chunk, 1), d_block
 
 
 def _selective_scan_pallas_fwd_impl(
@@ -334,7 +340,7 @@ def _selective_scan_pallas_fwd_impl(
 ):
     batch, seqlen, dim = u.shape
     n_state = A.shape[1]
-    chunk, d_block = _pick_blocks(seqlen, dim)
+    chunk, d_block = _pick_blocks(seqlen, dim, n_state)
     if d_block <= 0 or chunk < 1 or n_state % 8 != 0:
         raise ValueError("unsupported shape for pallas selective scan")
 
@@ -442,7 +448,7 @@ def _pallas_fwd(u, delta, A, B, C, D, z, delta_bias, delta_softplus):
     from dimsum_tpu.ops.selective_scan_bwd import selective_scan_fwd_train
 
     batch, seqlen, dim = u.shape
-    chunk, d_block = _pick_blocks(seqlen, dim)
+    chunk, d_block = _pick_blocks(seqlen, dim, A.shape[1])
     chunk = min(chunk, 128)  # the backward holds ~7 row-arrays live in VMEM
     y, o, boundaries = selective_scan_fwd_train(
         u, delta, A, B, C, D, z, delta_bias, delta_softplus,
@@ -456,7 +462,7 @@ def _pallas_bwd(delta_softplus, res, g):
 
     u, delta, A, B, C, D, z, delta_bias, o, boundaries = res
     batch, seqlen, dim = u.shape
-    chunk, d_block = _pick_blocks(seqlen, dim)
+    chunk, d_block = _pick_blocks(seqlen, dim, A.shape[1])
     chunk = min(chunk, 128)  # must match the forward's boundary spacing
     du, ddelta, dA, dB, dC, dD, dz, dbias = selective_scan_bwd_pallas(
         u, delta, A, B, C, D, z, delta_bias, delta_softplus, o, boundaries,
@@ -477,9 +483,25 @@ def selective_scan_pallas(
             u, delta, A, B, C, D, z, delta_bias, delta_softplus,
             return_last_state=True,
         )
-    return _selective_scan_pallas(
+    dim = u.shape[-1]
+    pad = (-dim) % 128
+    if pad:
+        # pad the channel axis to a lane multiple; padded channels carry
+        # zeros (A rows = -1 keep exp(dt*A) bounded) and are sliced away
+        pd = ((0, 0), (0, 0), (0, pad))
+        u = jnp.pad(u, pd)
+        delta = jnp.pad(delta, pd)
+        A = jnp.pad(A, ((0, pad), (0, 0)), constant_values=-1.0)
+        if D is not None:
+            D = jnp.pad(D, (0, pad))
+        if z is not None:
+            z = jnp.pad(z, pd)
+        if delta_bias is not None:
+            delta_bias = jnp.pad(delta_bias, (0, pad))
+    y = _selective_scan_pallas(
         u, delta, A, B, C, D, z, delta_bias, delta_softplus
     )
+    return y[..., :dim] if pad else y
 
 
 def _pallas_supported(u, A) -> bool:
@@ -487,8 +509,9 @@ def _pallas_supported(u, A) -> bool:
         return False
     batch, seqlen, dim = u.shape
     n_state = A.shape[1]
-    chunk, d_block = _pick_blocks(seqlen, dim)
-    return d_block > 0 and n_state % 8 == 0 and seqlen % chunk == 0
+    chunk, d_block = _pick_blocks(seqlen, dim, n_state)
+    # d_block == -1 (dim not a lane multiple) is fine: the dispatcher pads
+    return n_state % 8 == 0 and seqlen % chunk == 0
 
 
 def selective_scan(

@@ -75,6 +75,8 @@ _TP_RULES = [
     (r".*(qkv|qkv1|qkv2).*kernel", P(None, "model")),
     (r".*linear_fc1.*kernel", P(None, "model")),
     (r".*linear_fc2.*kernel", P("model", None)),
+    # stacked MoE experts (EP): shard the expert axis
+    (r".*experts_fc[12]_(kernel|bias)", P("model")),
 ]
 
 

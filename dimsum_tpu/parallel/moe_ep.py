@@ -53,6 +53,96 @@ def _expert_ffn(w1, w2, x, gated: bool):
     return jnp.einsum("esh,ehd->esd", h, w2)
 
 
+def _dispatch_top1(xf, logits, num_experts: int, capacity: int,
+                   routing_mode: str = "top1"):
+    """Switch-Transformer top-1 capacity dispatch (reference routing:
+    switch_mlp.py:76-86 -- sinkhorn mode only changes the activation; the
+    route_algo is never called in the reference forward).
+
+    Returns (pos1h (T, E, C) dispatch one-hots, max_prob (T,))."""
+    if routing_mode == "sinkhorn":
+        route = jax.nn.sigmoid(logits)
+    else:
+        route = jax.nn.softmax(logits, axis=-1)
+    max_prob = jnp.max(route, axis=-1)
+    max_ind = jnp.argmax(route, axis=-1)
+    onehot = jax.nn.one_hot(max_ind, num_experts, dtype=xf.dtype)  # (T, E)
+    pos = jnp.cumsum(onehot, axis=0) * onehot                      # 1-based
+    keep = (pos > 0) & (pos <= capacity)
+    disp = jnp.where(keep, onehot, 0.0)
+    pos1h = jax.nn.one_hot((pos - 1).astype(jnp.int32), capacity,
+                           dtype=xf.dtype) * disp[..., None]       # (T, E, C)
+    return pos1h, max_prob
+
+
+def switch_ep_gspmd(x, logits, w1, w2, b1=None, b2=None, mesh=None,
+                    axis: str = "model", capacity_factor: float = 2.0,
+                    gated: bool = True, routing_mode: str = "top1"):
+    """GSPMD expert parallelism: capacity dispatch + sharding constraints.
+
+    x: (B, L, D) tokens (shard batch over 'data' outside); logits: (B, L, E)
+    router output; w1: (E, D, H'), w2: (E, H, D) stacked expert weights --
+    shard axis 0 over `axis`.  Instead of an explicit all_to_all (the
+    shard_map path above), the dispatched buckets are annotated with
+    `with_sharding_constraint` and XLA inserts the cross-chip exchange.
+    Runs unsharded (exact dense-parity) when mesh is None.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    B, L, D = x.shape
+    T = B * L
+    E = w1.shape[0]
+    xf = x.reshape(T, D)
+    capacity = max(1, int(math.ceil(T * capacity_factor / E)))
+    pos1h, max_prob = _dispatch_top1(xf, logits.reshape(T, E), E, capacity,
+                                     routing_mode)
+
+    def shard_e(a):
+        if mesh is None:
+            return a
+        spec = P(axis, *([None] * (a.ndim - 1)))
+        return jax.lax.with_sharding_constraint(a, NamedSharding(mesh, spec))
+
+    buckets = shard_e(jnp.einsum("tec,td->ecd", pos1h, xf))  # (E, C, D)
+    h = jnp.einsum("ecd,edh->ech", buckets, shard_e(w1))
+    if b1 is not None:
+        h = h + shard_e(b1)[:, None, :]
+    if gated:
+        a, b = jnp.split(h, 2, axis=-1)
+        h = jax.nn.gelu(a, approximate=False) * b
+    else:
+        h = jax.nn.gelu(h, approximate=False)
+    eout = jnp.einsum("ech,ehd->ecd", h, shard_e(w2))
+    if b2 is not None:
+        eout = eout + shard_e(b2)[:, None, :]
+    eout = shard_e(eout)
+    out = jnp.einsum("tec,ecd->td", pos1h, eout) * max_prob[:, None]
+    return out.reshape(B, L, D)
+
+
+def stack_expert_params(switch_params):
+    """Convert the dense-path SwitchMLP param tree
+    (local_experts_{i}/linear_fc{1,2}) into the stacked (E, ...) arrays the
+    EP paths consume.  Used for tests and for loading dense checkpoints
+    into EP-sharded models."""
+    idx = sorted(int(k.split("_")[-1]) for k in switch_params
+                 if k.startswith("local_experts_"))
+    w1 = jnp.stack([switch_params[f"local_experts_{i}"]["linear_fc1"]["kernel"]
+                    for i in idx])
+    w2 = jnp.stack([switch_params[f"local_experts_{i}"]["linear_fc2"]["kernel"]
+                    for i in idx])
+    out = {"w1": w1, "w2": w2}
+    fc1 = switch_params[f"local_experts_{idx[0]}"]["linear_fc1"]
+    if "bias" in fc1:
+        out["b1"] = jnp.stack(
+            [switch_params[f"local_experts_{i}"]["linear_fc1"]["bias"]
+             for i in idx])
+        out["b2"] = jnp.stack(
+            [switch_params[f"local_experts_{i}"]["linear_fc2"]["bias"]
+             for i in idx])
+    return out
+
+
 def switch_ep_apply(params, x, axis_name: Optional[str] = None,
                     capacity_factor: float = 2.0, gated: bool = True,
                     routing_mode: str = "top1"):
@@ -71,20 +161,8 @@ def switch_ep_apply(params, x, axis_name: Optional[str] = None,
     E = e_local * k
 
     logits = xf @ params["router"]
-    if routing_mode == "sinkhorn":
-        route = jax.nn.sigmoid(logits)
-    else:
-        route = jax.nn.softmax(logits, axis=-1)
-    max_prob = jnp.max(route, axis=-1)
-    max_ind = jnp.argmax(route, axis=-1)
-
     capacity = max(1, int(math.ceil(T * capacity_factor / E)))
-    onehot = jax.nn.one_hot(max_ind, E, dtype=xf.dtype)          # (T, E)
-    pos = jnp.cumsum(onehot, axis=0) * onehot                    # 1-based
-    keep = (pos > 0) & (pos <= capacity)
-    disp = jnp.where(keep, onehot, 0.0)
-    pos1h = jax.nn.one_hot((pos - 1).astype(jnp.int32), capacity,
-                           dtype=xf.dtype) * disp[..., None]     # (T, E, C)
+    pos1h, max_prob = _dispatch_top1(xf, logits, E, capacity, routing_mode)
 
     buckets = jnp.einsum("tec,td->ecd", pos1h, xf)               # (E, C, D)
 

@@ -84,14 +84,23 @@ def make_train_step(
     ema_decay: float = 0.9999,
     use_labels: bool = True,
 ) -> Callable:
-    """Returns train_step(state, x, y, rng) -> (state, metrics), jitted and
-    (when a mesh is given) shard_mapped over the 'data' axis with replicated
-    parameters."""
+    """Returns train_step(state, x, y, rng) -> (state, metrics), jitted.
+
+    mesh=None: plain jit.  Single PRNG key.  This is also the GSPMD path:
+    place params with `tp_shardings` / batch with `data_sharding` and XLA
+    partitions the very same step (used by train.py --tp).
+
+    mesh given: shard_map over the 'data' axis with replicated parameters
+    and ONE gradient psum (the reference's DDP allreduce, train.py:180).
+    `rng` must then be an ARRAY of per-shard keys, shape (data_shards, 2)
+    (e.g. `jax.random.split(step_key, mesh.shape["data"])`) sharded over
+    'data'.  Injectable per-shard keys make the DP step exactly equal to a
+    single-device step that processes the shards sequentially with the same
+    keys (tests/test_parallel.py asserts this)."""
 
     def local_step(state: TrainState, x, y, rng):
         if mesh is not None:
-            # distinct per-shard randomness; same params everywhere
-            rng = jax.random.fold_in(rng, lax.axis_index("data"))
+            rng = rng[0]  # this shard's injected key
         rng_transport, rng_drop = jax.random.split(rng)
 
         def loss_fn(params):
@@ -127,7 +136,7 @@ def make_train_step(
     batch_spec = P("data")
     mapped = shard_map(
         local_step, mesh=mesh,
-        in_specs=(rep, batch_spec, batch_spec, rep),
+        in_specs=(rep, batch_spec, batch_spec, batch_spec),
         out_specs=(rep, rep),
         check_vma=False,
     )

@@ -50,6 +50,15 @@ def parse_args(argv=None):
     p.add_argument("--sample-dir", type=str, default="samples")
     p.add_argument("--measure-time", action="store_true")
     p.add_argument("--compute-nfe", action="store_true")
+    p.add_argument("--compute-ppl", type=str, default=None,
+                   help="perceptual path length over the sampler: a "
+                        "registered ppl metric name (ppl2_zend, ppl_zend, "
+                        "ppl_zfull; see eval/ppl.py scope note)")
+    p.add_argument("--ppl-detector", type=str, default=None,
+                   help="TorchScript vgg16.pt path (return_lpips contract); "
+                        "required with --compute-ppl")
+    p.add_argument("--ppl-samples", type=int, default=None,
+                   help="override the metric's sample count (smoke runs)")
     args = p.parse_args(argv)
     args.mode = mode
     return args
@@ -184,6 +193,46 @@ def main():
         bpd = -logp / dims / np.log(2)
         print(f"log-likelihood: mean logp={logp.mean():.2f} "
               f"({bpd.mean():.4f} bits/dim)")
+
+    if args.mode == "ODE" and getattr(args, "compute_ppl", None):
+        from dimsum_tpu.eval import calc_metric, report_metric
+        from dimsum_tpu.eval.features import TorchScriptDetector
+
+        if not args.ppl_detector:
+            raise SystemExit("--compute-ppl needs --ppl-detector (vgg16.pt)")
+        if not args.vae_ckpt:
+            raise SystemExit("--compute-ppl needs --vae-ckpt to decode")
+        from dimsum_tpu.models.vae import load_vae
+
+        vae_m, vae_p = load_vae(args.vae_ckpt)
+        # the vgg16.pt contract (reference perceptual_path_length.py:99)
+        lpips = TorchScriptDetector(args.ppl_detector, resize_images=False,
+                                    return_lpips=True)
+
+        @jax.jit
+        def ppl_sample(params, z, y):
+            def fn(x, t, **kw):
+                return model_fn_p(params, x, t, **kw)
+
+            lat = sample_fn(z, fn, rng=k_sde, y=y)
+            if isinstance(lat, tuple):
+                lat = lat[0]
+            return vae_m.apply(vae_p, lat, method=vae_m.decode)
+
+        def sampler_fn(z, yy):
+            yy = (jnp.asarray(yy, jnp.int32) if yy is not None
+                  else jnp.zeros((z.shape[0],), jnp.int32))
+            return np.asarray(ppl_sample(params, jnp.asarray(z), yy))
+
+        opts = dict(sampler_fn=sampler_fn, lpips_fn=lpips,
+                    z_shape=(cfg.in_channels, latent, latent),
+                    num_classes=num_real if args.num_classes > 1 else 0,
+                    batch_size=max(args.global_batch_size // 2, 1),
+                    seed=args.seed)
+        if args.ppl_samples:
+            opts["num_samples"] = args.ppl_samples
+        result = calc_metric(args.compute_ppl, **opts)
+        report_metric(result, run_dir=args.sample_dir)
 
     if args.measure_time:
         reps = 5

@@ -48,6 +48,9 @@ def parse_args(argv=None):
     p.add_argument("--sample-dir", type=str, default="samples-50k")
     p.add_argument("--image-ext", type=str, default="png")
     p.add_argument("--use-even-classes", action="store_true")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel ways (GSPMD 'model' axis; TPU "
+                        "extension over the reference's pure DP)")
     p.add_argument("--eval-refdir", type=str, default=None)
     p.add_argument("--eval-metric", type=str, default="fid50k_full",
                    help="comma-separated registered metrics")
@@ -77,9 +80,15 @@ def main():
     sampler = Sampler(transport)
 
     n_dev = len(jax.devices())
-    mesh = make_mesh(data=n_dev, model=1) if n_dev > 1 else None
+    assert n_dev % args.tp == 0, f"--tp {args.tp} does not divide {n_dev}"
+    use_tp = args.tp > 1
+    if use_tp:
+        mesh = make_mesh(data=n_dev // args.tp, model=args.tp)
+    else:
+        mesh = make_mesh(data=n_dev, model=1) if n_dev > 1 else None
     per_chip = args.per_proc_batch_size
-    global_batch = per_chip * max(n_dev, 1)
+    data_ways = n_dev // args.tp
+    global_batch = per_chip * max(data_ways, 1)
     use_cfg = args.cfg_scale > 1.0 and args.num_classes > 1
     num_real_classes = args.num_classes - (1 if args.num_classes > 1 else 0)
 
@@ -111,7 +120,22 @@ def main():
         out = sample_fn(z, batch_model_fn, rng=rng, y=y)
         return out[: z.shape[0] // 2] if use_cfg else out
 
-    if mesh is not None:
+    if use_tp:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from dimsum_tpu.parallel import tp_shardings
+
+        # GSPMD dp x tp: params sharded over 'model' by the TP rules, noise
+        # batch over 'data'; the jitted sampler is the plain local function
+        # and XLA inserts the collectives.
+        params = jax.device_put(params, tp_shardings(mesh, params))
+        batch_sh = NamedSharding(mesh, P("data"))
+
+        def run(params, z, y, rng):
+            return jax.jit(local_sample)(
+                params, jax.device_put(z, batch_sh),
+                jax.device_put(y, batch_sh), rng)
+    elif mesh is not None:
         from jax import shard_map
         from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -260,3 +260,103 @@ def test_native_batch_gather(tmp_path):
     loader = Loader(ds, batch_size=8, seed=0, num_workers=2)
     x, y = next(iter(loader))
     assert x.shape == (8, *shape)
+
+
+def test_dataset_tools_roundtrip(tmp_path):
+    """folder -> zip (dataset_tools converter) -> ImageFolderDataset reads
+    back identical pixels and labels (VERDICT r1 item 7)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import dataset_tools
+    from PIL import Image
+
+    from dimsum_tpu.data import ImageFolderDataset
+
+    rng = np.random.default_rng(0)
+    src = tmp_path / "src"
+    for cls in ("cat", "dog"):
+        (src / cls).mkdir(parents=True)
+        for i in range(3):
+            arr = rng.integers(0, 255, (40, 32, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(src / cls / f"{i}.png")
+
+    dest = tmp_path / "out.zip"
+    n = dataset_tools.convert_dataset(str(src), str(dest),
+                                      transform="center-crop",
+                                      width=16, height=16)
+    assert n == 6
+
+    ds = ImageFolderDataset(str(dest), image_size=16, use_labels=True)
+    assert len(ds) == 6
+    xs, ys = zip(*[ds[i] for i in range(6)])
+    assert {int(y) for y in ys} == {0, 1}
+    assert all(x.shape == (3, 16, 16) for x in xs)
+    # pixels survive the round trip: regenerate one source crop directly
+    im0 = Image.open(sorted((src / "cat").glob("*.png"))[0]).convert("RGB")
+    a = np.asarray(im0)
+    crop = min(a.shape[0], a.shape[1])
+    a = a[(a.shape[0] - crop) // 2:(a.shape[0] + crop) // 2,
+          (a.shape[1] - crop) // 2:(a.shape[1] + crop) // 2]
+    want = np.asarray(Image.fromarray(a).resize((16, 16), Image.LANCZOS))
+    got = ((np.asarray(xs[0]).transpose(1, 2, 0) + 1) * 127.5).round()
+    np.testing.assert_allclose(got, want, atol=1.0)
+
+
+def test_ppl_math():
+    """compute_ppl pipeline vs a hand-computed expectation: identity
+    'generator' + flatten 'LPIPS' => dist == ||slerp(t+eps)-slerp(t)||^2
+    * zdim / eps^2, percentile-filtered mean (reference
+    perceptual_path_length.py:139-143)."""
+    from dimsum_tpu.eval.ppl import compute_ppl, slerp
+
+    C, H, W = 3, 8, 8
+    zdim = C * H * W
+
+    def sampler_fn(z, y):
+        # map latents straight to "images" in [-1, 1]-ish range
+        return np.tanh(z.reshape(-1, C, H, W))
+
+    def lpips_fn(img):
+        return img.reshape(img.shape[0], -1)
+
+    got = compute_ppl(sampler_fn, lpips_fn, (C, H, W), num_samples=64,
+                      epsilon=1e-3, sampling="end", crop=False,
+                      batch_size=8, num_classes=0, seed=3)
+    assert np.isfinite(got) and got > 0
+
+    # replicate by hand with the same rng stream
+    rng = np.random.default_rng(3)
+    dists = []
+    for _ in range(8):
+        t = rng.uniform(size=(8, 1)) * 0.0
+        z0 = rng.standard_normal((8, zdim))
+        z1 = rng.standard_normal((8, zdim))
+        zt0 = slerp(z0, z1, t) * np.sqrt(zdim)
+        zt1 = slerp(z0, z1, t + 1e-3) * np.sqrt(zdim)
+        rng.integers  # (labels skipped: num_classes == 0)
+        i0 = (np.tanh(zt0.astype(np.float32)) + 1) * (255 / 2)
+        i1 = (np.tanh(zt1.astype(np.float32)) + 1) * (255 / 2)
+        dists.append(((i0 - i1) ** 2).sum(axis=1) / 1e-6)
+    dist = np.concatenate(dists)
+    lo = np.percentile(dist, 1, method="lower")
+    hi = np.percentile(dist, 99, method="higher")
+    want = np.extract((dist >= lo) & (dist <= hi), dist).mean()
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_ppl_constant_generator_is_zero():
+    from dimsum_tpu.eval.ppl import compute_ppl
+
+    got = compute_ppl(lambda z, y: np.zeros((z.shape[0], 3, 8, 8),
+                                            np.float32),
+                      lambda img: img.reshape(img.shape[0], -1),
+                      (3, 8, 8), num_samples=16, batch_size=8,
+                      sampling="end", crop=False)
+    assert got == 0.0
+
+
+def test_ppl_registered():
+    from dimsum_tpu.eval.metric_main import list_valid_metrics
+
+    for m in ("ppl2_zend", "ppl_zend", "ppl_zfull"):
+        assert m in list_valid_metrics()

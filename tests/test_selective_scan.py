@@ -187,3 +187,39 @@ def test_pallas_interpret_odd_seqlen():
     with pltpu.force_tpu_interpret_mode():
         got = selective_scan_pallas(u, delta, A, B, C, D, z, bias, True)
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-3)
+
+
+def test_pallas_pads_non_lane_multiple_dim():
+    """dim=96 (not a 128 multiple): the dispatcher pads the channel axis
+    to a lane multiple and slices the result (VERDICT r1 item 9)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(7)
+    u, delta, A, B, C, D, z, bias = make_inputs(
+        rng, batch=2, L=64, dim=96, n=8
+    )
+    want = selective_scan_ref(u, delta, A, B, C, D, z, bias, True)
+    with pltpu.force_tpu_interpret_mode():
+        got = selective_scan_pallas(u, delta, A, B, C, D, z, bias, True)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-3)
+
+
+def test_pallas_dstate_256():
+    """dstate=256 -- the reference kernel's documented maximum
+    (selective_scan.cpp:262); the chunk length scales down so the
+    (chunk*n_state, d_block) rows stay in VMEM."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from dimsum_tpu.ops.selective_scan import _pick_blocks
+
+    chunk, d_block = _pick_blocks(64, 128, 256)
+    assert chunk * 256 <= 4096 and 64 % chunk == 0
+
+    rng = np.random.default_rng(8)
+    u, delta, A, B, C, D, z, bias = make_inputs(
+        rng, batch=1, L=64, dim=128, n=256
+    )
+    want = selective_scan_ref(u, delta, A, B, C, D, z, bias, True)
+    with pltpu.force_tpu_interpret_mode():
+        got = selective_scan_pallas(u, delta, A, B, C, D, z, bias, True)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-3)

@@ -45,6 +45,10 @@ def parse_args(argv=None):
     p.add_argument("--plot-every", type=int, default=5)
     p.add_argument("--model-ckpt", type=str, default="")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel ways: shard params over a 'model' "
+                        "mesh axis via GSPMD (TPU extension; the reference "
+                        "is data-parallel only)")
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--max-grad-norm", type=float, default=2.0)
     p.add_argument("--no-lr-decay", action="store_true", default=False)
@@ -89,12 +93,21 @@ def main():
         args.label_dropout = 0.1 if args.num_classes > 1 else 0.0
     use_labels = args.num_classes > 1
 
-    model, cfg = create_model(args)
+    n_dev = len(jax.devices())
+    assert n_dev % args.tp == 0, f"--tp {args.tp} does not divide {n_dev}"
+    use_tp = args.tp > 1
+    if use_tp:
+        # GSPMD (data, model) mesh: params sharded by tp_param_specs, batch
+        # over 'data', XLA inserts the collectives.  The jitted step itself
+        # is the mesh=None step.
+        mesh = make_mesh(data=n_dev // args.tp, model=args.tp)
+    else:
+        mesh = make_mesh(data=n_dev, model=1) if n_dev > 1 else None
+
+    model, cfg = create_model(
+        args, ep_mesh=mesh if (use_tp and args.is_moe) else None)
     transport = build_transport(args)
     optimizer = create_optimizer(args.lr, weight_decay=0.0)
-
-    n_dev = len(jax.devices())
-    mesh = make_mesh(data=n_dev, model=1) if n_dev > 1 else None
     assert args.global_batch_size % max(n_dev, 1) == 0
 
     dataset = get_dataset(args)
@@ -127,6 +140,11 @@ def main():
         params = load_torch_checkpoint(args.model_ckpt, key="model",
                                        params_template=params, adapt=True)
         logger.info(f"warm-started from {args.model_ckpt}")
+    if use_tp:
+        from dimsum_tpu.parallel import tp_shardings
+
+        params = jax.device_put(params, tp_shardings(mesh, params))
+        logger.info(f"tensor-parallel: params sharded over model={args.tp}")
     state = create_train_state(params, optimizer)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     logger.info(f"model params: {n_params / 1e6:.1f}M")
@@ -141,9 +159,14 @@ def main():
             init_epoch = train_steps // max(len(loader), 1)
             logger.info(f"resumed at step {train_steps} (epoch {init_epoch})")
 
-    train_step = make_train_step(model, transport, optimizer, mesh=mesh,
+    # tp: GSPMD jit (mesh=None step; shardings come from the placed arrays).
+    # dp: shard_map over 'data' with injected per-shard keys.
+    train_step = make_train_step(model, transport, optimizer,
+                                 mesh=None if use_tp else mesh,
                                  max_grad_norm=args.max_grad_norm,
                                  use_labels=use_labels)
+    n_data_shards = (mesh.shape["data"] if (mesh is not None and not use_tp)
+                     else 0)
 
     running_loss, log_steps, start_time = 0.0, 0, time.time()
     for epoch in range(init_epoch, args.epochs + 1):
@@ -156,6 +179,8 @@ def main():
                 rng, k = jax.random.split(rng)
                 x_dev = encode(x_dev, k)
             rng, k = jax.random.split(rng)
+            if n_data_shards:
+                k = jax.random.split(k, n_data_shards)
             state, metrics = train_step(state, x_dev, y_dev, k)
             train_steps += 1
             log_steps += 1
