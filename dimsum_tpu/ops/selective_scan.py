@@ -45,6 +45,7 @@ default path; `h0` exists as an explicit opt-in extension.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -270,6 +271,7 @@ def _scan_body(
     has_bias: bool,
     has_h0: bool,
     out_dtype,
+    sub: int = 16,
 ):
     l_idx = pl.program_id(2)
 
@@ -302,7 +304,7 @@ def _scan_body(
     x = ((dt * u)[:, None, :] * Bm[:, :, None]).reshape(rows, d_block)
 
     # Two-level inclusive scan seeded with the carried state.
-    h, h_last = scan_rows(a, x, h_ref[:], n_state, chunk, d_block)
+    h, h_last = scan_rows(a, x, h_ref[:], n_state, chunk, d_block, sub=sub)
     h_ref[:] = h_last
 
     y = (h.reshape(chunk, n_state, d_block) * Cm[:, :, None]).sum(axis=1)
@@ -344,7 +346,13 @@ def _pick_blocks(seqlen: int, dim: int, n_state: int = 16):
             if dim % cand == 0:
                 d_block = cand
                 break
+    env_db = int(os.environ.get("DIMSUM_SCAN_DBLOCK", "0"))
+    if env_db and dim % env_db == 0:
+        d_block = env_db  # experimentation override (benchmarks/scan_micro)
     chunk = min(seqlen, max(8, 4096 // max(n_state, 1)))
+    env_ck = int(os.environ.get("DIMSUM_SCAN_CHUNK", "0"))
+    if env_ck and seqlen % env_ck == 0:
+        chunk = min(env_ck, seqlen)
     while seqlen % chunk != 0:
         chunk //= 2
     return max(chunk, 1), d_block
@@ -387,6 +395,7 @@ def _selective_scan_pallas_fwd_impl(
         has_bias=has_bias,
         has_h0=has_h0,
         out_dtype=u.dtype,
+        sub=int(os.environ.get("DIMSUM_SCAN_SUB", "16")),
     )
 
     bld_spec = pl.BlockSpec(
