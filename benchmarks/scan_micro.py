@@ -12,23 +12,30 @@ Usage:  python benchmarks/scan_micro.py [--batch 24] [--iters 50]
 from __future__ import annotations
 
 import argparse
-import functools
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 
-def time_call(fn, args, iters):
-    out = fn(*args)
-    jax.tree_util.tree_map(np.asarray, out)  # force completion
-    t0 = time.perf_counter()
+def time_call(fn, args, iters, inner: int = 4):
+    """Min over `iters` timings of `inner` back-to-back calls (min is the
+    right statistic against tunnel-latency spikes); fn must return a SCALAR
+    so the forced sync transfer is negligible."""
+    np.asarray(fn(*args))  # compile + warmup, force completion
+    best = float("inf")
     for _ in range(iters):
-        out = fn(*args)
-    jax.tree_util.tree_map(np.asarray, out)
-    return (time.perf_counter() - t0) / iters
+        t0 = time.perf_counter()
+        for _ in range(inner):
+            out = fn(*args)
+        np.asarray(out)
+        best = min(best, (time.perf_counter() - t0) / inner)
+    return best
 
 
 def main():
@@ -38,6 +45,9 @@ def main():
     ap.add_argument("--dim", type=int, default=1024)
     ap.add_argument("--dstate", type=int, default=16)
     ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--chain", type=int, default=16,
+                    help="scan applications chained inside one jitted "
+                         "program (amortizes tunnel dispatch latency)")
     ap.add_argument("--subs", type=str, default="4,8,16,32")
     ap.add_argument("--chunks", type=str, default="0")
     ap.add_argument("--dblocks", type=str, default="0")
@@ -60,7 +70,9 @@ def main():
     io_bytes = sum(int(np.prod(t.shape)) * t.dtype.itemsize for t in inputs)
     io_bytes += u.size * u.dtype.itemsize  # output
 
-    from dimsum_tpu.ops import selective_scan as ss
+    import importlib
+
+    ss = importlib.import_module("dimsum_tpu.ops.selective_scan")
 
     ref_out = None
     for sub in [int(s) for s in args.subs.split(",")]:
@@ -70,18 +82,30 @@ def main():
                 os.environ["DIMSUM_SCAN_CHUNK"] = str(chunk)
                 os.environ["DIMSUM_SCAN_DBLOCK"] = str(db)
 
-                def call(u, dt, A, Bm, Cm, Dv, z, bias):
+                chain = args.chain
+
+                def call_one(u, dt, A, Bm, Cm, Dv, z, bias):
                     return ss._selective_scan_pallas_fwd_impl(
                         u, dt, A, Bm, Cm, Dv, z, bias, True)
 
+                def call(u, dt, A, Bm, Cm, Dv, z, bias):
+                    y = u
+                    for _ in range(chain):
+                        y = call_one(y, dt, A, Bm, Cm, Dv, z, bias)
+                        # rms-normalize so chained activations stay sane
+                        y = (y.astype(jnp.float32) * jax.lax.rsqrt(
+                            jnp.mean(jnp.square(y.astype(jnp.float32))) +
+                            1e-6)).astype(u.dtype)
+                    return jnp.mean(y.astype(jnp.float32))
+
                 fn = jax.jit(call)  # fresh fn per config -> fresh trace
                 try:
-                    ms = time_call(fn, inputs, args.iters) * 1e3
+                    ms = time_call(fn, inputs, args.iters) * 1e3 / chain
                 except Exception as e:  # VMEM OOM etc.
                     print(f"sub={sub:3d} chunk={chunk:4d} db={db:4d}  "
                           f"FAILED: {type(e).__name__}")
                     continue
-                out = np.asarray(fn(*inputs), np.float32)
+                out = np.asarray(jax.jit(call_one)(*inputs), np.float32)
                 if ref_out is None:
                     ref_out = out
                     err = 0.0

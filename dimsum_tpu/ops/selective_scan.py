@@ -153,7 +153,7 @@ def selective_scan_xla(
 
 
 def scan_rows(a, x, h0, n_state: int, chunk: int, d_block: int,
-              sub: int = 16):
+              sub: int = 8):
     """In-VMEM inclusive scan over (chunk * n_state, d_block) row arrays in
     (t, n)-row-major layout, seeded with h0 (n_state, d_block).
 
@@ -199,7 +199,7 @@ def scan_rows(a, x, h0, n_state: int, chunk: int, d_block: int,
 
 
 def scan_rows_rev(a, p, w, n_state: int, chunk: int, d_block: int,
-                  sub: int = 16):
+                  sub: int = 8):
     """Suffix (reverse-time) scan:  e_t = p_t + a_{t+1} e_{t+1}, with the
     cross-chunk carry w entering as  e_last = p_last + w  (w is
     a_first * e_first of the temporally NEXT chunk, computed there).
@@ -395,7 +395,13 @@ def _selective_scan_pallas_fwd_impl(
         has_bias=has_bias,
         has_h0=has_h0,
         out_dtype=u.dtype,
-        sub=int(os.environ.get("DIMSUM_SCAN_SUB", "16")),
+        # sub=8 measured fastest on v5e at headline shapes (benchmarks/
+        # scan_micro.py: 0.995ms vs 1.095ms at sub=16, B24 L256 D1024 N16).
+        # An in-place scratch-ref doubling scan (slice-stores instead of
+        # per-pass concatenates) was measured SLOWER (1.034ms): Mosaic keeps
+        # the value-based concats in registers, and the 4MB scratch steals
+        # double-buffering headroom. Negative result, do not revisit.
+        sub=int(os.environ.get("DIMSUM_SCAN_SUB", "8")),
     )
 
     bld_spec = pl.BlockSpec(
