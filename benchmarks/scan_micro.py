@@ -92,10 +92,9 @@ def main():
                     y = u
                     for _ in range(chain):
                         y = call_one(y, dt, A, Bm, Cm, Dv, z, bias)
-                        # rms-normalize so chained activations stay sane
-                        y = (y.astype(jnp.float32) * jax.lax.rsqrt(
-                            jnp.mean(jnp.square(y.astype(jnp.float32))) +
-                            1e-6)).astype(u.dtype)
+                    # values may overflow through the chain -- irrelevant,
+                    # TPU timing is data-independent; only the final scalar
+                    # transfer matters for sync
                     return jnp.mean(y.astype(jnp.float32))
 
                 fn = jax.jit(call)  # fresh fn per config -> fresh trace

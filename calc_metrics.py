@@ -22,9 +22,7 @@ def main():
     p.add_argument("--gen-dir", type=str, required=True)
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument("--detector", type=str, default=None,
-                   help="TorchScript detector path (InceptionV3 for FID/IS, "
-                        "VGG16 for PR); random-projection fallback is for "
-                        "smoke tests only")
+                   help='detector spec: TorchScript .pt path (bit-parity, host CPU), "jax:<pth>" = flax InceptionV3 with converted torch weights (runs on TPU), "jax-random" = flax InceptionV3 with random params (relative trends, no weights needed), default random-projection (smoke only)')
     p.add_argument("--cache-dir", type=str, default="stats-cache")
     p.add_argument("--run-dir", type=str, default=None)
     p.add_argument("--batch-size", type=int, default=64)
@@ -35,8 +33,7 @@ def main():
 
     from dimsum_tpu.data import ImageFolderDataset
     from dimsum_tpu.eval import (
-        RandomProjectionDetector, TorchScriptDetector, calc_metric,
-        is_valid_metric, list_valid_metrics, report_metric,
+        calc_metric, is_valid_metric, list_valid_metrics, report_metric,
     )
 
     for m in args.metrics.split(","):
@@ -44,8 +41,9 @@ def main():
             raise SystemExit(
                 f"unknown metric {m!r}; valid: {list_valid_metrics()}")
 
-    detector = (TorchScriptDetector(args.detector, return_features=True)
-                if args.detector else RandomProjectionDetector())
+    from dimsum_tpu.eval.features import detector_id, make_detector
+
+    detector = make_detector(args.detector)
     real = ImageFolderDataset(args.real_dir, args.image_size,
                               raw_uint8=True, xflip=args.mirror)
     gen = ImageFolderDataset(args.gen_dir, args.image_size, raw_uint8=True)
@@ -61,7 +59,7 @@ def main():
             metric.strip(), real_dataset=real, gen_batches=gen_batches,
             detector=detector, batch_size=args.batch_size,
             cache_dir=args.cache_dir, dataset_id=args.real_dir,
-            detector_id=args.detector or "randproj")
+            detector_id=detector_id(args.detector))
         report_metric(result, run_dir=args.run_dir)
 
 

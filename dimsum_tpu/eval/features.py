@@ -68,6 +68,41 @@ class RandomProjectionDetector:
         return moments @ self._w
 
 
+def make_detector(spec: Optional[str]):
+    """Detector factory shared by calc_metrics / sample_ddp / train.
+
+    spec:
+      None or "randproj"  -> RandomProjectionDetector (weight-less smoke)
+      "jax-random"        -> flax InceptionV3 with seeded random params:
+                             the REAL FID architecture on TPU, usable
+                             without weights files (relative FID trends)
+      "jax:<path.pth>"    -> flax InceptionV3 with converted torch weights
+                             (pt_inception-2015-12-05 / torchvision)
+      "<path.pt>"         -> TorchScript detector file, bit-parity with the
+                             reference pipeline (runs on host CPU)
+    """
+    if spec is None or spec == "randproj":
+        return RandomProjectionDetector()
+    if spec == "jax-random" or spec.startswith("jax:"):
+        import jax
+        import jax.numpy as jnp
+
+        from dimsum_tpu.eval.inception import (
+            InceptionV3Features, JaxInceptionDetector)
+
+        if spec == "jax-random":
+            params = InceptionV3Features().init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)))["params"]
+            return JaxInceptionDetector(params=params)
+        return JaxInceptionDetector(weights_path=spec[len("jax:"):])
+    return TorchScriptDetector(spec, return_features=True)
+
+
+def detector_id(spec: Optional[str]) -> str:
+    """Stable id for the feature-stats cache key."""
+    return spec or "randproj"
+
+
 def batched_features(images: Iterable[np.ndarray], detector: Callable,
                      stats: Optional[FeatureStats] = None,
                      max_items: Optional[int] = None) -> FeatureStats:

@@ -4,9 +4,11 @@ bidirectional CrossAttentionFusion joining the spatial/frequency halves.
 Reference: timm `Attention` (used at `/root/reference/dimsum/models_dim.py:1540`)
 and `/root/reference/dimsum/attention_fusion.py:9-84`.
 
-Uses `jax.nn.dot_product_attention`, which XLA lowers to a fused TPU
-attention; sequence lengths here are <= 1024 so flash-style chunking is
-unnecessary.
+Uses `jax.nn.dot_product_attention` (bf16 QK^T with fp32 accumulation /
+softmax on the MXU); sequence lengths here are <= 1024 so flash-style
+chunking is unnecessary.  Everything stays in (B, L, H, Dh) layout -- the
+attention op's native layout -- so no head transposes ever materialize
+(they showed up as relayout copies in the v5e profile).
 """
 
 from __future__ import annotations
@@ -16,17 +18,6 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
-
-
-def _sdpa(q, k, v):
-    """q,k,v: (B, H, L, Dh) -> (B, H, L, Dh), fp32 softmax."""
-    # jax.nn.dot_product_attention expects (B, L, H, Dh)
-    out = jax.nn.dot_product_attention(
-        q.transpose(0, 2, 1, 3),
-        k.transpose(0, 2, 1, 3),
-        v.transpose(0, 2, 1, 3),
-    )
-    return out.transpose(0, 2, 1, 3)
 
 
 class Attention(nn.Module):
@@ -43,9 +34,9 @@ class Attention(nn.Module):
         qkv = nn.Dense(3 * D, use_bias=self.qkv_bias, dtype=self.dtype,
                        name="qkv")(x)
         qkv = qkv.reshape(B, L, 3, self.num_heads, head_dim)
-        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
-        out = _sdpa(q, k, v)
-        out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, L, H, Dh)
+        out = jax.nn.dot_product_attention(q, k, v)
+        out = out.reshape(B, L, D)
         return nn.Dense(D, use_bias=True, dtype=self.dtype, name="proj")(out)
 
 
@@ -73,20 +64,20 @@ class CrossAttentionFusion(nn.Module):
             qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
                            name=name)(x)
             qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
-            return (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+            return qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, Dh)
 
         q1, k1, v1 = qkv_of(x1, "qkv1")
         q2, k2, v2 = qkv_of(x2, "qkv2")
 
+        sdpa = jax.nn.dot_product_attention
         if not self.swap_k:
-            x12 = _sdpa(q1, k2, v2)
-            x21 = _sdpa(q2, k1, v1)
+            x12 = sdpa(q1, k2, v2)
+            x21 = sdpa(q2, k1, v1)
         else:
-            x12 = _sdpa(q2, k1, v2)
-            x21 = _sdpa(q1, k2, v1)
+            x12 = sdpa(q2, k1, v2)
+            x21 = sdpa(q1, k2, v1)
 
-        x12 = x12.transpose(0, 2, 1, 3).reshape(B, N, C)
-        x21 = x21.transpose(0, 2, 1, 3).reshape(B, N, C)
-        out = jnp.concatenate([x12, x21], axis=-1)
+        out = jnp.concatenate([x12.reshape(B, N, C), x21.reshape(B, N, C)],
+                              axis=-1)
         return nn.Dense(self.dim, use_bias=True, dtype=self.dtype,
                         name="proj")(out)

@@ -268,7 +268,23 @@ def convert_diffusers_vae(sd) -> dict:
 
 def load_vae(path: str):
     """Load diffusers VAE weights from a local .bin/.pt/.safetensors file.
-    Returns (module, params)."""
+    Returns (module, params).
+
+    `path="random"` (or "random:<seed>") returns the same architecture with
+    seeded random weights -- a fixed, deterministic latent<->pixel mapping
+    for exercising the full train/sample/FID pipelines in this zero-egress
+    environment (no SD-VAE weights downloadable); drop in the real
+    diffusers file to reproduce reference pixels."""
+    if path == "random" or path.startswith("random:"):
+        import jax
+        import jax.numpy as jnp
+
+        seed = int(path.split(":", 1)[1]) if ":" in path else 0
+        module = AutoencoderKL()
+        x = jnp.zeros((1, 3, 64, 64), jnp.float32)
+        params = jax.jit(module.init)(jax.random.PRNGKey(seed), x,
+                                      jax.random.PRNGKey(seed + 1))
+        return module, params
     if path.endswith(".safetensors"):
         from safetensors.numpy import load_file
 

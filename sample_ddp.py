@@ -55,8 +55,7 @@ def parse_args(argv=None):
     p.add_argument("--eval-metric", type=str, default="fid50k_full",
                    help="comma-separated registered metrics")
     p.add_argument("--eval-detector", type=str, default=None,
-                   help="TorchScript InceptionV3 path; falls back to the "
-                        "random-projection detector (smoke only)")
+                   help='detector spec: TorchScript .pt path (bit-parity, host CPU), "jax:<pth>" = flax InceptionV3 with converted torch weights (runs on TPU), "jax-random" = flax InceptionV3 with random params (relative trends, no weights needed), default random-projection (smoke only)')
     args = p.parse_args(argv)
     args.mode = mode
     return args
@@ -204,14 +203,10 @@ def main():
 
     if args.eval_refdir:
         from dimsum_tpu.data import ImageFolderDataset
-        from dimsum_tpu.eval import (
-            RandomProjectionDetector, TorchScriptDetector, calc_metric,
-            report_metric,
-        )
+        from dimsum_tpu.eval import calc_metric, report_metric
+        from dimsum_tpu.eval.features import detector_id, make_detector
 
-        detector = (TorchScriptDetector(args.eval_detector,
-                                        return_features=True)
-                    if args.eval_detector else RandomProjectionDetector())
+        detector = make_detector(args.eval_detector)
         real = ImageFolderDataset(args.eval_refdir, cfg.img_resolution * 8,
                                   raw_uint8=True)
         gen = ImageFolderDataset(args.sample_dir, cfg.img_resolution * 8,
@@ -228,7 +223,7 @@ def main():
                 detector=detector, cache_dir=os.path.join(
                     args.sample_dir, "..", "stats-cache"),
                 dataset_id=args.eval_refdir,
-                detector_id=args.eval_detector or "randproj")
+                detector_id=detector_id(args.eval_detector))
             report_metric(result, run_dir=args.sample_dir)
 
 

@@ -360,3 +360,23 @@ def test_ppl_registered():
 
     for m in ("ppl2_zend", "ppl_zend", "ppl_zfull"):
         assert m in list_valid_metrics()
+
+
+def test_make_detector_specs():
+    """Detector factory: randproj default + flax-inception jax-random spec
+    produce working (N, F) feature extractors."""
+    import pytest as _pytest
+
+    from dimsum_tpu.eval.features import detector_id, make_detector
+
+    img = np.random.RandomState(0).randint(
+        0, 256, (2, 3, 32, 32), dtype=np.uint8)
+    det = make_detector(None)
+    f = det(img)
+    assert f.shape[0] == 2 and f.ndim == 2
+    assert detector_id(None) == "randproj"
+
+    det = make_detector("jax-random")
+    f = det(img)
+    assert f.shape == (2, 2048)
+    assert detector_id("jax-random") == "jax-random"

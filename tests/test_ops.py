@@ -250,3 +250,38 @@ def test_local_scan_roundtrip_and_order(column_first):
         want_first = grid[:, :w, :w].reshape(B, w * w, C)
         np.testing.assert_allclose(
             np.asarray(scanned)[:, : w * w], want_first)
+
+
+@pytest.mark.parametrize("is_rms,has_bias", [(True, False), (False, True),
+                                             (False, False)])
+def test_fused_add_norm_pallas_matches_xla(is_rms, has_bias, monkeypatch):
+    """Pallas add+norm kernel (interpret mode) vs the XLA reference path:
+    fwd outputs and grads for x/residual/weight/bias."""
+    import jax
+
+    rng = np.random.RandomState(0)
+    B, L, D = 2, 8, 256
+    x = jnp.asarray(rng.randn(B, L, D).astype(np.float32))
+    res = jnp.asarray(rng.randn(B, L, D).astype(np.float32))
+    w = jnp.asarray(rng.rand(D).astype(np.float32) + 0.5)
+    b = jnp.asarray(rng.randn(D).astype(np.float32)) if has_bias else None
+
+    def f(x, res, w, b):
+        out, new_res = fused_add_norm(x, w, b, residual=res, eps=1e-5,
+                                      is_rms=is_rms)
+        return (out * jnp.cos(out)).sum() + (new_res * 0.3).sum()
+
+    args = (x, res, w, b) if has_bias else (x, res, w)
+    fx = (lambda x, res, w, b=None: f(x, res, w, b if has_bias else None))
+    want = jax.grad(fx, argnums=tuple(range(len(args))))(*args)
+    want_out = fused_add_norm(x, w, b, residual=res, eps=1e-5, is_rms=is_rms)
+
+    monkeypatch.setenv("DIMSUM_NORM_INTERPRET", "1")
+    got_out = fused_add_norm(x, w, b, residual=res, eps=1e-5, is_rms=is_rms)
+    got = jax.grad(fx, argnums=tuple(range(len(args))))(*args)
+
+    for a, e in zip(got_out, want_out):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e), atol=2e-5)
+    for a, e in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e), atol=2e-4,
+                                   rtol=2e-4)

@@ -61,7 +61,7 @@ def parse_args(argv=None):
     p.add_argument("--eval-bs", type=int, default=4)
     p.add_argument("--eval-cfg-scale", type=float, default=1.0)
     p.add_argument("--eval-detector", type=str, default=None,
-                   help="TorchScript InceptionV3 path for in-training FID")
+                   help='in-training FID detector spec: TorchScript .pt path (bit-parity, host CPU), "jax:<pth>" = flax InceptionV3 with converted torch weights (runs on TPU), "jax-random" = flax InceptionV3 with random params (relative trends, no weights needed), default random-projection (smoke only)')
     return p.parse_args(argv)
 
 
@@ -220,10 +220,7 @@ def _in_training_fid(args, model, state, transport, vae, vae_params,
     import jax.numpy as jnp
 
     from dimsum_tpu.data import ImageFolderDataset
-    from dimsum_tpu.eval import (
-        RandomProjectionDetector, TorchScriptDetector, calc_metric,
-        report_metric, latents_to_uint8,
-    )
+    from dimsum_tpu.eval import calc_metric, report_metric, latents_to_uint8
     from dimsum_tpu.transport import Sampler
 
     sampler = Sampler(transport)
@@ -251,16 +248,16 @@ def _in_training_fid(args, model, state, transport, vae, vae_params,
             n += bs
             yield latents_to_uint8(imgs)
 
-    detector = (TorchScriptDetector(args.eval_detector,
-                                    return_features=True)
-                if args.eval_detector else RandomProjectionDetector())
+    from dimsum_tpu.eval.features import detector_id, make_detector
+
+    detector = make_detector(args.eval_detector)
     real = ImageFolderDataset(args.eval_refdir, args.image_size,
                               raw_uint8=True)
     result = calc_metric(
         "fid2k_full", real_dataset=real, gen_batches=gen_batches,
         detector=detector, cache_dir=os.path.join(exp_dir, "stats-cache"),
         dataset_id=args.eval_refdir,
-        detector_id=args.eval_detector or "randproj")
+        detector_id=detector_id(args.eval_detector))
     report_metric(result, run_dir=exp_dir)
     logger.info(f"in-training eval: {result['results']}")
 
