@@ -7,9 +7,12 @@ Prints ONE JSON line:
 
 vs_baseline is measured throughput divided by an estimated A100 reference
 throughput for the same protocol (no throughput number is published in the
-reference repo; see BASELINE.md).  Estimate: ~470 GFLOPs per CFG-doubled
-model eval * 250 steps ~= 118 TFLOPs/image; A100 bf16 at a generous 40%
-MFU ~= 125 TFLOP/s => ~1.05 img/s.  We round to 1.0 img/s/GPU.
+reference repo; see BASELINE.md / BENCH.md).  XLA-exact cost: 192.6 GFLOP
+per model-eval row (batch-24 forward = 4.623 TFLOP), CFG doubles rows =>
+385 GFLOP per image per step => 96 TFLOP/image at 250 steps.  A100 bf16
+peak 312 TF/s at a generous 30% end-to-end MFU (torch eager + CUDA mamba
+kernels) ~= 0.97 img/s; rounded to 1.0 img/s/GPU.  Cost note: one v5e is
+~1/3 an A100's price, so vs_baseline understates images-per-dollar ~3x.
 """
 
 from __future__ import annotations
@@ -34,6 +37,10 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="tiny model smoke mode")
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
+    ap.add_argument("--solver", default="euler", choices=["euler", "dopri5"],
+                    help="euler = fixed 250 steps (deterministic work); "
+                         "dopri5 = the reference's adaptive solver "
+                         "(scripts/eval.sh), NFE counted on-device")
     args = ap.parse_args()
 
     from dimsum_tpu.models.dim import DiM, DiMConfig
@@ -67,8 +74,11 @@ def main():
 
     transport = create_transport("GVP", "velocity")
     sampler = Sampler(transport)
-    sample_fn = sampler.sample_ode(sampling_method="euler",
-                                   num_steps=args.steps)
+    use_dopri = args.solver == "dopri5"
+    sample_fn = sampler.sample_ode(sampling_method=args.solver,
+                                   num_steps=args.steps,
+                                   atol=1e-6, rtol=1e-3,
+                                   return_nfe=use_dopri)
 
     from dimsum_tpu.models.dim import forward_with_cfg
 
@@ -83,21 +93,30 @@ def main():
 
     # compile + warmup (forces full completion via host transfer)
     out = run(params, z, y)
-    np.asarray(out)
+    jax.tree_util.tree_map(np.asarray, out)
 
     t_start = time.perf_counter()
     for _ in range(args.iters):
         out = run(params, z, y)
-    np.asarray(out)  # sync
+    jax.tree_util.tree_map(np.asarray, out)  # sync
     dt = (time.perf_counter() - t_start) / args.iters
 
+    nfe = None
+    if use_dopri:
+        out, nfe = out
+        nfe = int(np.asarray(nfe).max())
+
     imgs_per_sec = n / dt
-    print(json.dumps({
+    rec = {
         "metric": "imagenet256_sampling_throughput_250step_cfg",
         "value": round(imgs_per_sec, 4),
         "unit": "img/s/chip",
         "vs_baseline": round(imgs_per_sec / A100_BASELINE_IMG_PER_SEC, 4),
-    }))
+    }
+    if nfe is not None:
+        rec["metric"] = "imagenet256_sampling_throughput_dopri5_cfg"
+        rec["nfe"] = nfe
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -93,6 +93,15 @@ def make_detector(spec: Optional[str]):
         if spec == "jax-random":
             params = InceptionV3Features().init(
                 jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)))["params"]
+            # flax's lecun init halves activation variance per ReLU layer;
+            # across ~94 convs features collapse to constants and FID
+            # degenerates to ~0 for ANY inputs.  He-scale the kernels
+            # (x sqrt(2)) so random features stay discriminative.
+            params = jax.tree_util.tree_map_with_path(
+                lambda p, a: (a * jnp.sqrt(2.0)
+                              if jax.tree_util.keystr(p).endswith("kernel']")
+                              else a),
+                params)
             return JaxInceptionDetector(params=params)
         return JaxInceptionDetector(weights_path=spec[len("jax:"):])
     return TorchScriptDetector(spec, return_features=True)
@@ -100,6 +109,8 @@ def make_detector(spec: Optional[str]):
 
 def detector_id(spec: Optional[str]) -> str:
     """Stable id for the feature-stats cache key."""
+    if spec == "jax-random":
+        return "jax-random-he"  # He-scaled init (v2); invalidates v1 caches
     return spec or "randproj"
 
 
