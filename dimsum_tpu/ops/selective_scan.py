@@ -72,6 +72,20 @@ def _prep(u, delta, A, B, C, D, z, delta_bias, delta_softplus):
     return dt
 
 
+def _expand_groups(B, dim):
+    """Grouped B/C (batch, L, G, N) -> per-channel (batch, L, dim, N).
+
+    Mirrors the reference's variable-B ngroups mode
+    (`selective_scan_interface.py:94`: B of shape (b, ngroups, dstate, l),
+    each group driving dim/ngroups contiguous channels).  2-D-per-step
+    inputs (batch, L, N) are the ngroups=1 fast path and are returned
+    unchanged (broadcast later)."""
+    if B.ndim == 3:
+        return B
+    batch, L, G, N = B.shape
+    return jnp.repeat(B, dim // G, axis=2).reshape(batch, L, dim, N)
+
+
 def selective_scan_ref(
     u, delta, A, B, C, D=None, z=None, delta_bias=None, delta_softplus=False,
     return_last_state=False,
@@ -83,16 +97,23 @@ def selective_scan_ref(
     uf = u.astype(jnp.float32)
     dt = _prep(u, delta, A, B, C, D, z, delta_bias, delta_softplus)
     Af = A.astype(jnp.float32)
-    Bf = B.astype(jnp.float32)
-    Cf = C.astype(jnp.float32)
+    grouped = B.ndim == 4
+    Bf = _expand_groups(B, dim).astype(jnp.float32)
+    Cf = _expand_groups(C, dim).astype(jnp.float32)
 
     deltaA = jnp.exp(jnp.einsum("bld,dn->bldn", dt, Af))
-    deltaB_u = jnp.einsum("bld,bln,bld->bldn", dt, Bf, uf)
+    if grouped:
+        deltaB_u = (dt * uf)[..., None] * Bf
+    else:
+        deltaB_u = jnp.einsum("bld,bln,bld->bldn", dt, Bf, uf)
 
     def step(h, inputs):
         a_t, x_t, c_t = inputs
         h = a_t * h + x_t
-        y = jnp.einsum("bdn,bn->bd", h, c_t)
+        if grouped:
+            y = jnp.einsum("bdn,bdn->bd", h, c_t)
+        else:
+            y = jnp.einsum("bdn,bn->bd", h, c_t)
         return h, y
 
     h0 = jnp.zeros((batch, dim, dstate), jnp.float32)
@@ -121,14 +142,16 @@ def selective_scan_xla(
 ):
     """`lax.associative_scan` implementation (differentiable, portable)."""
     dtype_in = u.dtype
+    dim = u.shape[-1]
     uf = u.astype(jnp.float32)
     dt = _prep(u, delta, A, B, C, D, z, delta_bias, delta_softplus)
     Af = A.astype(jnp.float32)
-    Bf = B.astype(jnp.float32)
-    Cf = C.astype(jnp.float32)
+    grouped = B.ndim == 4
+    Bf = _expand_groups(B, dim).astype(jnp.float32)
+    Cf = _expand_groups(C, dim).astype(jnp.float32)
 
     a = jnp.exp(jnp.einsum("bld,dn->bldn", dt, Af))
-    x = (dt * uf)[..., None] * Bf[:, :, None, :]  # (B, L, D, N)
+    x = (dt * uf)[..., None] * (Bf if grouped else Bf[:, :, None, :])
 
     def combine(left, right):
         a_l, x_l = left
@@ -138,7 +161,10 @@ def selective_scan_xla(
     a_cum, h = lax.associative_scan(combine, (a, x), axis=1)
     if h0 is not None:
         h = h + a_cum * h0[:, None].astype(jnp.float32)
-    y = jnp.einsum("bldn,bln->bld", h, Cf)
+    if grouped:
+        y = jnp.einsum("bldn,bldn->bld", h, Cf)
+    else:
+        y = jnp.einsum("bldn,bln->bld", h, Cf)
     out = y if D is None else y + uf * D.astype(jnp.float32)[None, None, :]
     if z is not None:
         zf = z.astype(jnp.float32)
@@ -272,6 +298,7 @@ def _scan_body(
     has_h0: bool,
     out_dtype,
     sub: int = 16,
+    grouped: bool = False,
 ):
     l_idx = pl.program_id(2)
 
@@ -293,8 +320,12 @@ def _scan_body(
     # reduction on the VPU (~8% kernel time on v5e; 1e-5-level rounding
     # differences only)
     A = A_ref[:].astype(f32) * 1.4426950408889634  # (d_block, n_state)
-    Bm = B_ref[0].astype(f32)       # (chunk, n_state)
-    Cm = C_ref[0].astype(f32)       # (chunk, n_state)
+    if grouped:
+        Bm = B_ref[0, 0].astype(f32)    # (chunk, n_state), this d-block's group
+        Cm = C_ref[0, 0].astype(f32)
+    else:
+        Bm = B_ref[0].astype(f32)       # (chunk, n_state)
+        Cm = C_ref[0].astype(f32)
 
     rows = chunk * n_state
     # Row-major (t, n) layout on the sublane axis, channels on lanes.
@@ -367,6 +398,13 @@ def _selective_scan_pallas_fwd_impl(
     batch, seqlen, dim = u.shape
     n_state = A.shape[1]
     chunk, d_block = _pick_blocks(seqlen, dim, n_state)
+    grouped = B.ndim == 4
+    n_groups = B.shape[2] if grouped else 1
+    if grouped:
+        # each d-block must live inside one group's channel range
+        gw = dim // n_groups
+        while d_block > 0 and gw % d_block != 0:
+            d_block //= 2
     if d_block <= 0 or chunk < 1 or n_state % 8 != 0:
         raise ValueError("unsupported shape for pallas selective scan")
 
@@ -404,16 +442,26 @@ def _selective_scan_pallas_fwd_impl(
         # the value-based concats in registers, and the 4MB scratch steals
         # double-buffering headroom. Negative result, do not revisit.
         sub=int(os.environ.get("DIMSUM_SCAN_SUB", "8")),
+        grouped=grouped,
     )
 
     bld_spec = pl.BlockSpec(
         (1, chunk, d_block), lambda b, d, l: (b, l, d),
         memory_space=pltpu.VMEM,
     )
-    bln_spec = pl.BlockSpec(
-        (1, chunk, n_state), lambda b, d, l: (b, l, 0),
-        memory_space=pltpu.VMEM,
-    )
+    if grouped:
+        # (batch, G, L, N) layout so the block's trailing (chunk, n_state)
+        # dims satisfy Mosaic's (8, =dim) tiling constraint
+        dpg = (dim // n_groups) // d_block  # d-blocks per group
+        bln_spec = pl.BlockSpec(
+            (1, 1, chunk, n_state), lambda b, d, l: (b, d // dpg, l, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        bln_spec = pl.BlockSpec(
+            (1, chunk, n_state), lambda b, d, l: (b, l, 0),
+            memory_space=pltpu.VMEM,
+        )
     dn_spec = pl.BlockSpec(
         (d_block, n_state), lambda b, d, l: (d, 0), memory_space=pltpu.VMEM
     )
@@ -436,6 +484,9 @@ def _selective_scan_pallas_fwd_impl(
         bld_spec,   # z
         state_spec,  # h0
     ]
+    if grouped:
+        B = jnp.swapaxes(B, 1, 2)  # (batch, G, L, N)
+        C = jnp.swapaxes(C, 1, 2)
     args = (u, delta, A, B, C, D_in, bias_in, z_in, h0_in)
     compiler_params = pltpu.CompilerParams(
         dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -507,6 +558,36 @@ def _pallas_bwd(delta_softplus, res, g):
 _selective_scan_pallas.defvjp(_pallas_fwd, _pallas_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def _selective_scan_pallas_grouped(u, delta, A, B, C, D, z, delta_bias,
+                                   delta_softplus):
+    """ngroups mode (B/C (batch, L, G, N)): Pallas forward with per-group
+    B/C block indexing; backward recomputes through the XLA path (grouped
+    scans are op-level reference parity -- no DiMSUM model trains with
+    G > 1, so the fused reverse-scan backward keeps its G=1 fast path)."""
+    return _selective_scan_pallas_fwd_impl(
+        u, delta, A, B, C, D, z, delta_bias, delta_softplus)
+
+
+def _grouped_fwd(u, delta, A, B, C, D, z, delta_bias, delta_softplus):
+    y = _selective_scan_pallas_fwd_impl(
+        u, delta, A, B, C, D, z, delta_bias, delta_softplus)
+    return y, (u, delta, A, B, C, D, z, delta_bias)
+
+
+def _grouped_bwd(delta_softplus, res, g):
+    u, delta, A, B, C, D, z, delta_bias = res
+    _, vjp = jax.vjp(
+        lambda u_, dt_, A_, B_, C_, D_, z_, bias_: selective_scan_xla(
+            u_, dt_, A_, B_, C_, D=D_, z=z_, delta_bias=bias_,
+            delta_softplus=delta_softplus),
+        u, delta, A, B, C, D, z, delta_bias)
+    return vjp(g)
+
+
+_selective_scan_pallas_grouped.defvjp(_grouped_fwd, _grouped_bwd)
+
+
 def selective_scan_pallas(
     u, delta, A, B, C, D=None, z=None, delta_bias=None, delta_softplus=False,
     return_last_state=False,
@@ -517,6 +598,12 @@ def selective_scan_pallas(
             return_last_state=True,
         )
     dim = u.shape[-1]
+    if B.ndim == 4:
+        if dim % 128 != 0 or (dim // B.shape[2]) % 128 != 0:
+            return selective_scan_xla(
+                u, delta, A, B, C, D, z, delta_bias, delta_softplus)
+        return _selective_scan_pallas_grouped(
+            u, delta, A, B, C, D, z, delta_bias, delta_softplus)
     pad = (-dim) % 128
     if pad:
         # pad the channel axis to a lane multiple; padded channels carry

@@ -379,4 +379,5 @@ def test_make_detector_specs():
     det = make_detector("jax-random")
     f = det(img)
     assert f.shape == (2, 2048)
-    assert detector_id("jax-random") == "jax-random"
+    # He-rescaled init (v2) bumps the cache id (see features.detector_id)
+    assert detector_id("jax-random") == "jax-random-he"

@@ -223,3 +223,75 @@ def test_pallas_dstate_256():
     with pltpu.force_tpu_interpret_mode():
         got = selective_scan_pallas(u, delta, A, B, C, D, z, bias, True)
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# ngroups mode: B/C of shape (batch, L, G, N), group g driving channels
+# [g*dim/G, (g+1)*dim/G) -- the reference's variable-B groups
+# (selective_scan_interface.py:94, B (b, ngroups, dstate, l)).
+# ---------------------------------------------------------------------------
+
+
+def _grouped_oracle(fn, u, delta, A, Bg, Cg, D, z, bias):
+    """Per-group slicing through the (tested) ngroups=1 path."""
+    G = Bg.shape[2]
+    dim = u.shape[-1]
+    gw = dim // G
+    outs = []
+    for g in range(G):
+        sl = slice(g * gw, (g + 1) * gw)
+        outs.append(fn(
+            u[..., sl], delta[..., sl], A[sl], Bg[:, :, g], Cg[:, :, g],
+            D[sl] if D is not None else None,
+            z[..., sl] if z is not None else None,
+            bias[sl] if bias is not None else None, True))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _make_grouped(rng, batch=2, L=64, dim=256, n=8, G=2):
+    u, delta, A, B, C, D, z, bias = make_inputs(rng, batch, L, dim, n)
+    Bg = rng.standard_normal((batch, L, G, n)).astype(np.float32)
+    Cg = rng.standard_normal((batch, L, G, n)).astype(np.float32)
+    return u, delta, A, Bg, Cg, D, z, bias
+
+
+@pytest.mark.parametrize("G", [2, 4])
+def test_grouped_xla_matches_per_group_slices(G):
+    rng = np.random.default_rng(10)
+    u, delta, A, Bg, Cg, D, z, bias = _make_grouped(rng, dim=64, G=G)
+    want = _grouped_oracle(selective_scan_xla, u, delta, A, Bg, Cg, D, z,
+                           bias)
+    got = selective_scan_xla(u, delta, A, Bg, Cg, D, z, bias, True)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    got_ref = selective_scan_ref(u, delta, A, Bg, Cg, D, z, bias, True)
+    np.testing.assert_allclose(got_ref, want, rtol=2e-4, atol=2e-4)
+
+
+def test_grouped_pallas_interpret_matches_xla():
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(11)
+    u, delta, A, Bg, Cg, D, z, bias = _make_grouped(rng, dim=256, G=2)
+    want = selective_scan_xla(u, delta, A, Bg, Cg, D, z, bias, True)
+    with pltpu.force_tpu_interpret_mode():
+        got = selective_scan_pallas(u, delta, A, Bg, Cg, D, z, bias, True)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-3)
+
+
+def test_grouped_xla_grads_match_per_group_slices():
+    rng = np.random.default_rng(12)
+    u, delta, A, Bg, Cg, D, z, bias = _make_grouped(rng, dim=64, G=2)
+
+    def loss_g(u, Bg, Cg):
+        out = selective_scan_xla(u, delta, A, Bg, Cg, D, z, bias, True)
+        return jnp.sum(out * jnp.cos(out))
+
+    def loss_o(u, Bg, Cg):
+        out = _grouped_oracle(selective_scan_xla, u, delta, A, Bg, Cg, D,
+                              z, bias)
+        return jnp.sum(out * jnp.cos(out))
+
+    got = jax.grad(loss_g, argnums=(0, 1, 2))(u, Bg, Cg)
+    want = jax.grad(loss_o, argnums=(0, 1, 2))(u, Bg, Cg)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
