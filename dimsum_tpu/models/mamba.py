@@ -32,8 +32,9 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from dimsum_tpu.ops.causal_conv1d import causal_conv1d
+from dimsum_tpu.ops.causal_conv1d import causal_conv1d, causal_conv1d_halo
 from dimsum_tpu.ops.selective_scan import selective_scan, selective_scan_xla
+from dimsum_tpu.ops.selective_scan_sp import selective_scan_seq_parallel
 
 
 def _dt_kernel_init(dt_rank: int, dt_scale: float, dt_init: str):
@@ -96,6 +97,7 @@ class Mamba(nn.Module):
     zigzag_paths: Optional[np.ndarray] = None          # (depth*, L) fwd perms
     zigzag_paths_reverse: Optional[np.ndarray] = None  # inverse perms
     scan_impl: Optional[str] = None
+    seq_axis: Optional[str] = None  # shard_map axis name: sequence-parallel
     dtype: Any = jnp.float32
 
     @property
@@ -115,7 +117,14 @@ class Mamba(nn.Module):
                             (d_inner, self.d_conv))
         conv_b = (self.param(f"conv1d{suffix}_bias", nn.initializers.zeros,
                              (d_inner,)) if self.conv_bias else None)
-        x_conv = causal_conv1d(x_in, conv_w, conv_b, activation="silu")
+        if self.seq_axis is not None:
+            # L sharded over a mesh axis (inside shard_map): halo'd conv +
+            # two-pass scan with the cross-shard state carried over ICI
+            x_conv = causal_conv1d_halo(x_in, conv_w, conv_b,
+                                        activation="silu",
+                                        axis_name=self.seq_axis)
+        else:
+            x_conv = causal_conv1d(x_in, conv_w, conv_b, activation="silu")
 
         x_dbl = nn.Dense(r + 2 * d_state, use_bias=False, dtype=self.dtype,
                          name=f"x_proj{suffix}")(x_conv)
@@ -149,6 +158,12 @@ class Mamba(nn.Module):
                 x_conv, dt, A, Bm, Cm, D, z=z, delta_bias=dt_bias,
                 delta_softplus=True, h0=h0,
             )
+        if self.seq_axis is not None:
+            return selective_scan_seq_parallel(
+                x_conv, dt, A, Bm, Cm, D, z=z, delta_bias=dt_bias,
+                delta_softplus=True, axis_name=self.seq_axis,
+                impl=self.scan_impl,
+            )
         return selective_scan(
             x_conv, dt, A, Bm, Cm, D, z=z, delta_bias=dt_bias,
             delta_softplus=True, impl=self.scan_impl,
@@ -161,6 +176,11 @@ class Mamba(nn.Module):
                       name="in_proj")(x)
 
         zig = self.scan_type.split("_")[0] in ("zigma", "sweep", "jpeg")
+        if self.seq_axis is not None and (zig or self.scan_type == "v2"):
+            raise NotImplementedError(
+                "seq_axis supports scan_type='none' only: zigzag gathers "
+                "and the v2 flip are global token permutations, which a "
+                "sequence-sharded mixer cannot apply locally")
         if zig:
             perm = jnp.asarray(self.zigzag_paths)[self.layer_idx]
             xz = jnp.take(xz, perm, axis=1)

@@ -19,8 +19,9 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
-__all__ = ["causal_conv1d", "causal_conv1d_update"]
+__all__ = ["causal_conv1d", "causal_conv1d_halo", "causal_conv1d_update"]
 
 
 def causal_conv1d(x, weight, bias=None, activation: str | None = "silu"):
@@ -44,6 +45,23 @@ def causal_conv1d(x, weight, bias=None, activation: str | None = "silu"):
     if activation in ("silu", "swish"):
         y = y * jax.nn.sigmoid(y)
     return y.astype(dtype_in)
+
+
+def causal_conv1d_halo(x, weight, bias=None, activation: str | None = "silu",
+                       axis_name: str = "seq"):
+    """Sequence-sharded causal conv for use INSIDE shard_map with the L axis
+    sharded over `axis_name`: each shard receives the previous shard's last
+    W-1 tokens as a left halo over ICI (one ppermute of a few KB), so the
+    sharded result equals the unsharded `causal_conv1d` exactly.  Shard 0's
+    halo is zeros == the unsharded zero padding (ppermute leaves
+    unaddressed destinations zero)."""
+    W = weight.shape[1]
+    k = lax.axis_size(axis_name)
+    halo = x[:, x.shape[1] - (W - 1):, :]
+    prev = lax.ppermute(halo, axis_name,
+                        [(i, i + 1) for i in range(k - 1)])
+    xp = jnp.concatenate([prev, x], axis=1)
+    return causal_conv1d(xp, weight, bias, activation)[:, W - 1:, :]
 
 
 def causal_conv1d_update(x, conv_state, weight, bias=None,

@@ -83,3 +83,35 @@ def test_pallas_h0_and_last_state_interpret():
                                rtol=2e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(got_last), np.asarray(want_last),
                                rtol=2e-3, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_mamba_mixer_seq_parallel_matches_single_device():
+    """Full Mamba mixer under shard_map with L sharded: halo'd causal conv
+    + two-pass scan must equal the unsharded mixer exactly."""
+    import flax.linen  # noqa: F401  (ensure flax import order)
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+
+    from dimsum_tpu.models.mamba import Mamba
+
+    devs = np.array(jax.devices()[:4])
+    mesh = Mesh(devs, ("seq",))
+
+    B, L, D = 2, 64, 32
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, L, D), jnp.float32)
+
+    ref_mod = Mamba(d_model=D, d_state=8, layer_idx=0)
+    params = ref_mod.init(jax.random.PRNGKey(1), x)
+    want = ref_mod.apply(params, x)
+
+    sp_mod = Mamba(d_model=D, d_state=8, layer_idx=0, seq_axis="seq")
+
+    def fwd(x_shard):
+        return sp_mod.apply(params, x_shard)
+
+    got = jax.jit(shard_map(
+        fwd, mesh=mesh, in_specs=P(None, "seq", None),
+        out_specs=P(None, "seq", None), check_vma=False))(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
