@@ -1,0 +1,85 @@
+"""PPL metric math tests (eval/ppl.py).
+
+Reference: perceptual_path_length.py (slerp :26-36, distance / eps^2,
+1-99 percentile-filtered mean :139-143).  No VGG16 weights exist in this
+environment, so the lpips_fn is a synthetic linear embedding; the tests pin
+the metric's *math*: slerp geometry, epsilon invariance (the eps^2 division
+makes PPL a squared path-derivative, first-order independent of eps), and
+feature-scale quadratic behavior.
+"""
+
+import numpy as np
+
+from dimsum_tpu.eval.ppl import compute_ppl, slerp
+
+
+def test_slerp_geometry():
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((4, 16))
+    b = rng.standard_normal((4, 16))
+    an = a / np.linalg.norm(a, axis=-1, keepdims=True)
+    s0 = slerp(a, b, 0.0)
+    s1 = slerp(a, b, 1.0)
+    np.testing.assert_allclose(s0, an, atol=1e-6)
+    np.testing.assert_allclose(np.linalg.norm(s1, axis=-1), 1.0, atol=1e-6)
+    bn = b / np.linalg.norm(b, axis=-1, keepdims=True)
+    np.testing.assert_allclose(s1, bn, atol=1e-5)
+    mid = slerp(a, b, 0.5)
+    np.testing.assert_allclose(np.linalg.norm(mid, axis=-1), 1.0, atol=1e-6)
+    # equal angles to both endpoints
+    np.testing.assert_allclose((mid * an).sum(-1), (mid * bn).sum(-1),
+                               atol=1e-5)
+
+
+def _linear_sampler(z, y):
+    # deterministic "generator": image = z reshaped, squashed to [-1, 1]
+    return np.tanh(z.reshape(z.shape[0], 3, 32, 32))
+
+
+def _linear_lpips(scale=1.0):
+    rng = np.random.default_rng(1)
+    W = rng.standard_normal((3 * 32 * 32, 32)).astype(np.float64) * 1e-3
+
+    def fn(img_0_255):
+        flat = img_0_255.reshape(img_0_255.shape[0], -1).astype(np.float64)
+        return scale * (flat @ W)
+
+    return fn
+
+
+def test_ppl_eps_invariance_and_feature_scaling():
+    kw = dict(z_shape=(3, 32, 32), num_samples=16, crop=False,
+              batch_size=4, num_classes=0, seed=0)
+    p1 = compute_ppl(_linear_sampler, _linear_lpips(), epsilon=1e-4, **kw)
+    p2 = compute_ppl(_linear_sampler, _linear_lpips(), epsilon=2e-4, **kw)
+    assert p1 > 0 and np.isfinite(p1)
+    # PPL is a squared directional derivative: first-order eps-independent
+    assert abs(p1 - p2) / p1 < 0.05
+    # scaling features by 2 scales squared distances by 4
+    p4 = compute_ppl(_linear_sampler, _linear_lpips(scale=2.0),
+                     epsilon=1e-4, **kw)
+    np.testing.assert_allclose(p4 / p1, 4.0, rtol=1e-3)
+
+
+def test_ppl_percentile_filter_drops_outliers():
+    # a sampler whose distance explodes for one batch: the 1-99 percentile
+    # filter must keep the metric near the bulk value
+    calls = {"n": 0}
+
+    def spiky_sampler(z, y):
+        out = _linear_sampler(z, y)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # corrupt exactly ONE endpoint pair (rows 0 and bs+0): a single
+            # wild distance out of 128, inside the 1% filter band
+            out[0] *= 50.0
+            out[out.shape[0] // 2] *= 50.0
+        return out
+
+    base = compute_ppl(_linear_sampler, _linear_lpips(), z_shape=(3, 32, 32),
+                       num_samples=128, crop=False, batch_size=4,
+                       num_classes=0, seed=0, epsilon=1e-4)
+    spiky = compute_ppl(spiky_sampler, _linear_lpips(), z_shape=(3, 32, 32),
+                        num_samples=128, crop=False, batch_size=4,
+                        num_classes=0, seed=0, epsilon=1e-4)
+    assert abs(spiky - base) / base < 0.2
