@@ -295,3 +295,24 @@ def test_grouped_xla_grads_match_per_group_slices():
     want = jax.grad(loss_o, argnums=(0, 1, 2))(u, Bg, Cg)
     for a, b in zip(got, want):
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
+
+
+def test_grouped_pallas_custom_vjp_grads_interpret():
+    """Grads through the grouped Pallas op (custom_vjp with XLA-recompute
+    backward) == grads of the XLA path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(13)
+    u, delta, A, Bg, Cg, D, z, bias = _make_grouped(rng, dim=256, G=2)
+
+    def loss(fn, u, Bg):
+        out = fn(u, delta, A, Bg, Cg, D, z, bias, True)
+        return jnp.sum(out * jnp.sin(out))
+
+    want = jax.grad(lambda u_, B_: loss(selective_scan_xla, u_, B_),
+                    argnums=(0, 1))(u, Bg)
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(lambda u_, B_: loss(selective_scan_pallas, u_, B_),
+                       argnums=(0, 1))(u, Bg)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
