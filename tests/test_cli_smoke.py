@@ -1,0 +1,64 @@
+"""End-to-end CLI smoke: train.py -> orbax checkpoint -> sample.py, as
+subprocesses on CPU (the verify-skill recipe).  Guards the CLI surface —
+flag parsing, dataset dispatch, trainer wiring, checkpoint round-trip,
+sampler restore — not numerics (covered elsewhere)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, cwd):
+    env = dict(os.environ)
+    env.update(JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+               XLA_FLAGS="--xla_force_host_platform_device_count=1")
+    r = subprocess.run([sys.executable] + args, cwd=cwd, env=env,
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, f"{args}\nSTDOUT:{r.stdout[-2000:]}\n" \
+                              f"STDERR:{r.stderr[-2000:]}"
+    return r
+
+
+@pytest.mark.slow
+def test_train_then_sample_cli(tmp_path):
+    # tiny synthetic latent memmap (image-size 64 -> latent 8)
+    n, shape = 64, (4, 8, 8)
+    feats = np.memmap(tmp_path / "latents.dat", np.float32, mode="w+",
+                      shape=(n, *shape))
+    labels = np.memmap(tmp_path / "labels.dat", np.int64, mode="w+",
+                       shape=(n,))
+    rng = np.random.default_rng(0)
+    feats[:] = rng.standard_normal((n, *shape)).astype(np.float32)
+    labels[:] = rng.integers(0, 4, n)
+    feats.flush(); labels.flush()
+
+    results = tmp_path / "results"
+    _run(["train.py", "--exp", "smoke", "--results-dir", str(results),
+          "--model", "DiM-S/2", "--image-size", "64", "--num-classes", "4",
+          "--dataset", "latent_memmap", "--datadir", str(tmp_path),
+          "--global-batch-size", "8", "--epochs", "1",
+          "--block-type", "combined", "--bimamba-type", "none",
+          "--cond-mamba", "--rms-norm", "--learnable-pe",
+          "--use-attn-every-k-layers", "2", "--log-every", "2",
+          "--save-content-every", "1", "--plot-every", "99",
+          "--ckpt-every", "99", "--num-workers", "0"], REPO)
+    content = results / "smoke" / "content"
+    assert content.is_dir() and any(content.iterdir())
+    log = (results / "smoke" / "log.txt").read_text()
+    assert "loss=" in log
+
+    out = tmp_path / "gen"
+    _run(["sample.py", "ODE", "--ckpt", str(content),
+          "--model", "DiM-S/2", "--image-size", "64", "--num-classes", "4",
+          "--block-type", "combined", "--bimamba-type", "none",
+          "--cond-mamba", "--rms-norm", "--learnable-pe",
+          "--use-attn-every-k-layers", "2",
+          "--sampling-method", "euler", "--num-sampling-steps", "4",
+          "--global-batch-size", "2", "--sample-dir", str(out)], REPO)
+    assert any(out.iterdir())
