@@ -228,3 +228,47 @@ def test_enable_fourier_layers():
     out = model.apply(params, x, jnp.array([0.5]), jnp.array([1]))
     assert out.shape == x.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_forward_with_cfg_and_adacfg_math():
+    """CFG wrappers vs hand-computed guidance (reference models_dim.py
+    :1886-1924): batch-doubled half replication, guidance on the first
+    in_channels only, adacfg's power-cos time schedule."""
+    import math
+
+    from dimsum_tpu.models.dim import forward_with_adacfg, forward_with_cfg
+
+    rng = np.random.default_rng(0)
+    B, C, H = 4, 4, 8  # doubled batch 4 => half 2
+    x = jnp.asarray(rng.standard_normal((B, C, H, H)).astype(np.float32))
+    t = jnp.asarray(np.linspace(0.1, 0.9, B).astype(np.float32))
+    y = jnp.asarray(np.array([1, 2, 0, 0], np.int32))
+    W = jnp.asarray(rng.standard_normal((B, 1, 1, 1)).astype(np.float32))
+
+    def fake_apply(params, xin, tin, yin):
+        # deterministic "model": depends on x, t, y; out_channels = 2C
+        base = xin * (1.0 + tin.reshape(-1, 1, 1, 1)) + \
+            yin.reshape(-1, 1, 1, 1).astype(jnp.float32)
+        return jnp.concatenate([base, 2.0 * base], axis=1)
+
+    scale = 1.7
+    got = forward_with_cfg(fake_apply, None, x, t, y, cfg_scale=scale,
+                           in_channels=C)
+    half = np.asarray(x[:2])
+    comb = np.concatenate([half, half], 0)
+    out = np.asarray(fake_apply(None, jnp.asarray(comb), t, y))
+    eps, rest = out[:, :C], out[:, C:]
+    ce, ue = eps[:2], eps[2:]
+    he = ue + scale * (ce - ue)
+    want = np.concatenate([np.concatenate([he, he], 0), rest], 1)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-6)
+
+    pw = 4.0
+    got_a = forward_with_adacfg(fake_apply, None, x, t, y, cfg_scale=scale,
+                                scale_pow=pw, in_channels=C)
+    step = (1 - np.cos(((1 - np.asarray(t)) ** pw) * math.pi)) * 0.5
+    real = ((scale - 1) * step + 1)[:2].reshape(-1, 1, 1, 1)
+    he_a = ue + real * (ce - ue)
+    want_a = np.concatenate([np.concatenate([he_a, he_a], 0), rest], 1)
+    np.testing.assert_allclose(np.asarray(got_a), want_a, rtol=1e-6,
+                               atol=1e-6)
