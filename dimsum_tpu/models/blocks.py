@@ -53,6 +53,31 @@ class Norm(nn.Module):
         )
 
 
+def drop_path_fn(x, rate: float, rng):
+    """Per-sample stochastic depth (timm semantics; reference
+    models_dim.py:1933-1951): keep with prob 1-rate, scale kept samples by
+    1/(1-rate).  Callers apply it only in training."""
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(
+        rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+    return x * (mask.astype(x.dtype) / keep)
+
+
+class _DropPathMixin:
+    """Blocks apply stochastic depth to the INCOMING hidden_states at the
+    add+norm residual merge -- `residual + drop_path(hidden_states)` -- and
+    only when a residual exists (reference models_dim.py:294,313 and every
+    other block class; first block / sub-blocks enter with residual=None
+    and are never dropped)."""
+
+    def _maybe_drop_path(self, hidden_states, residual, train: bool):
+        rate = getattr(self, "drop_path_rate", 0.0)
+        if train and rate > 0.0 and residual is not None:
+            hidden_states = drop_path_fn(
+                hidden_states, rate, self.make_rng("drop_path"))
+        return hidden_states
+
+
 def _add_identity_norm(x, residual, residual_in_fp32=True):
     """norm_cls=nn.Identity case (inner blocks of the combined block)."""
     if residual is None:
@@ -96,7 +121,7 @@ def _scanning_continuity(x, h, w):
     return rearrange(xg, "n c w h -> n (w h) c", h=h, w=w)
 
 
-class MixerBlockCore(nn.Module):
+class MixerBlockCore(nn.Module, _DropPathMixin):
     """Shared mixer-under-adaLN core with optional token reordering and FFN.
 
     Covers DiMBlockRaw (no_ffn=True) and DiMBlock "linear" (no_ffn=False).
@@ -114,10 +139,13 @@ class MixerBlockCore(nn.Module):
     no_ffn: bool = True
     c_dim: Optional[int] = None
     use_gated_mlp: bool = True
+    drop_path_rate: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden_states, residual=None, c=None):
+    def __call__(self, hidden_states, residual=None, c=None,
+                 train: bool = False):
+        hidden_states = self._maybe_drop_path(hidden_states, residual, train)
         if self.identity_norm:
             hidden_states, residual = _add_identity_norm(
                 hidden_states, residual, self.residual_in_fp32)
@@ -173,7 +201,7 @@ def DiMBlock(**kwargs) -> MixerBlockCore:
     return MixerBlockCore(no_ffn=False, **kwargs)
 
 
-class DiMBlockWindow(nn.Module):
+class DiMBlockWindow(nn.Module, _DropPathMixin):
     """Windowed-scan block (reference :361-502): local_scan(w=4) ordering,
     optional rolled shift-window, mixer + FFN."""
 
@@ -186,10 +214,13 @@ class DiMBlockWindow(nn.Module):
     transpose: bool = False
     shift_window: bool = False
     use_gated_mlp: bool = True
+    drop_path_rate: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden_states, residual=None, c=None):
+    def __call__(self, hidden_states, residual=None, c=None,
+                 train: bool = False):
+        hidden_states = self._maybe_drop_path(hidden_states, residual, train)
         hidden_states, residual = Norm(
             rms=self.rms_norm, eps=self.norm_eps, name="norm")(
             hidden_states, residual, residual_in_fp32=self.residual_in_fp32)
@@ -231,7 +262,7 @@ class DiMBlockWindow(nn.Module):
         return hidden_states, residual
 
 
-class WaveDiMBlock(nn.Module):
+class WaveDiMBlock(nn.Module, _DropPathMixin):
     """Frequency branch: 2-level Haar pack -> windowed scan -> mixer (+FFN)
     -> inverse (reference :505-710)."""
 
@@ -249,10 +280,13 @@ class WaveDiMBlock(nn.Module):
     window_scan: bool = True
     num_wavelet_lv: int = 2
     use_gated_mlp: bool = True
+    drop_path_rate: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden_states, residual=None, c=None):
+    def __call__(self, hidden_states, residual=None, c=None,
+                 train: bool = False):
+        hidden_states = self._maybe_drop_path(hidden_states, residual, train)
         if self.identity_norm:
             hidden_states, residual = _add_identity_norm(
                 hidden_states, residual, self.residual_in_fp32)
@@ -307,7 +341,7 @@ class WaveDiMBlock(nn.Module):
         return hidden_states, residual
 
 
-class DCTBlock(nn.Module):
+class DCTBlock(nn.Module, _DropPathMixin):
     """DCT frequency branch (reference :778-933): patchwise frozen-basis DCT,
     token regroup, mixer (+FFN), inverse DCT."""
 
@@ -324,10 +358,13 @@ class DCTBlock(nn.Module):
     no_ffn: bool = False
     c_dim: Optional[int] = None
     use_gated_mlp: bool = True
+    drop_path_rate: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden_states, residual=None, c=None):
+    def __call__(self, hidden_states, residual=None, c=None,
+                 train: bool = False):
+        hidden_states = self._maybe_drop_path(hidden_states, residual, train)
         if self.identity_norm:
             hidden_states, residual = _add_identity_norm(
                 hidden_states, residual, self.residual_in_fp32)
@@ -422,7 +459,9 @@ class EinFFT(nn.Module):
 
         r2, i2 = softshrink(r2), softshrink(i2)
         out = jnp.fft.ifft2(r2 + 1j * i2, axes=(1, 2), norm="ortho")
-        return out.real.astype(jnp.float32).reshape(B, N, C)
+        # match the input dtype (the complex math runs in complex64 either
+        # way); hardcoding fp32 here broke bf16 dtype uniformity downstream
+        return out.real.astype(x.dtype).reshape(B, N, C)
 
 
 class SwitchMLP(nn.Module):
@@ -511,7 +550,11 @@ class MoEBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden_states, residual=None, c=None):
+    def __call__(self, hidden_states, residual=None, c=None,
+                 train: bool = False):
+        # NOTE: the reference's MoEBlock receives no drop_path
+        # (create_block, models_dim.py:2150-2157) -- train is accepted for
+        # call-site uniformity only.
         hidden_states, residual = Norm(
             rms=self.rms_norm, eps=self.norm_eps, name="norm")(
             hidden_states, residual, residual_in_fp32=self.residual_in_fp32)
@@ -550,7 +593,7 @@ class DiTBlock(nn.Module):
         return x
 
 
-class DiMBlockCombined(nn.Module):
+class DiMBlockCombined(nn.Module, _DropPathMixin):
     """The published DiMSUM block (reference :974-1117):
 
     add+norm -> split channels -> spatial half through DiMBlockRaw and
@@ -569,10 +612,13 @@ class DiMBlockCombined(nn.Module):
     use_gated_mlp: bool = True
     freq_variant: str = "wave"  # "wave" | "dct" | "einfft"
     mixer_kwargs_2: Optional[Dict[str, Any]] = None
+    drop_path_rate: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden_states, residual=None, c=None):
+    def __call__(self, hidden_states, residual=None, c=None,
+                 train: bool = False):
+        hidden_states = self._maybe_drop_path(hidden_states, residual, train)
         hidden_states, residual = Norm(
             rms=self.rms_norm, eps=self.norm_eps, name="norm")(
             hidden_states, residual, residual_in_fp32=self.residual_in_fp32)

@@ -153,9 +153,21 @@ class DiM(nn.Module):
                        zigzag_paths_reverse=paths2[1])
         return mk, mk2
 
-    def _make_block(self, i: int, cfg: DiMConfig, paths, paths2):
+    @staticmethod
+    def _drop_path_rates(cfg: DiMConfig):
+        """Stochastic-depth decay rule (reference :1634-1636): block i gets
+        inter_dpr[i] where inter_dpr = [0.0] + linspace(0, p, depth); the
+        auxiliary fourier blocks get dpr[i] and the final norm_f merge the
+        full rate."""
+        dpr = np.linspace(0.0, cfg.drop_path, cfg.eff_depth).tolist()
+        inter_dpr = [0.0] + dpr
+        return inter_dpr, dpr
+
+    def _make_block(self, i: int, cfg: DiMConfig, paths, paths2,
+                    drop_path_rate: float = 0.0):
         """create_block dispatch (reference :2001-2160)."""
         if cfg.is_moe and i % 2 != 0:
+            # the reference's MoEBlock receives no drop_path (:2150-2157)
             return MoEBlock(
                 dim=cfg.hidden_size, rms_norm=cfg.rms_norm,
                 residual_in_fp32=cfg.residual_in_fp32,
@@ -174,6 +186,7 @@ class DiM(nn.Module):
         common = dict(
             dim=cfg.hidden_size, mixer_kwargs=mk, rms_norm=cfg.rms_norm,
             residual_in_fp32=cfg.residual_in_fp32,
+            drop_path_rate=drop_path_rate,
             dtype=cfg.dtype, name=f"blocks_{i}")
 
         if cfg.block_type == "raw":
@@ -259,13 +272,16 @@ class DiM(nn.Module):
         residual = None
         freq_residual = None
         attn_idx = 0
+        inter_dpr, dpr = self._drop_path_rates(cfg)
         for i in range(cfg.eff_depth):
-            block = self._make_block(i, cfg, paths, paths2)
+            block = self._make_block(i, cfg, paths, paths2,
+                                     drop_path_rate=inter_dpr[i])
             if cfg.grad_checkpoint:
                 x, residual = nn.remat(
-                    lambda mdl, *a: mdl(*a))(block, x, residual, c)
+                    lambda mdl, *a: mdl(*a, train=train))(
+                    block, x, residual, c)
             else:
-                x, residual = block(x, residual, c)
+                x, residual = block(x, residual, c, train=train)
             if cfg.enable_fourier_layers:
                 # auxiliary frequency blocks after each main block
                 # (reference :1699-1723,1847-1853; NOTE the reference's own
@@ -279,8 +295,10 @@ class DiM(nn.Module):
                     residual_in_fp32=cfg.residual_in_fp32,
                     reverse=(i % 2 > 0), transpose=False,
                     scanning_continuity=cfg.scanning_continuity,
-                    window_scan=False, dtype=cfg.dtype,
-                    name=f"fourier_blocks_{i}")(x, freq_residual, c)
+                    window_scan=False, drop_path_rate=dpr[i],
+                    dtype=cfg.dtype,
+                    name=f"fourier_blocks_{i}")(x, freq_residual, c,
+                                                train=train)
             if attn_every > 0 and (i + 1) % attn_every == 0:
                 if cfg.use_independent_attn:
                     if attn_idx < cfg.num_attn_blocks:
@@ -293,6 +311,12 @@ class DiM(nn.Module):
                     x = shared_attn(x, c)
 
         if cfg.use_final_norm:
+            # model-level DropPath at the final merge (reference :1867-1880,
+            # full rate)
+            if train and cfg.drop_path > 0.0 and residual is not None:
+                from dimsum_tpu.models.blocks import drop_path_fn
+                x = drop_path_fn(x, cfg.drop_path,
+                                 self.make_rng("drop_path"))
             x = Norm(rms=cfg.rms_norm, eps=1e-5, name="norm_f")(
                 x, residual, prenorm=False,
                 residual_in_fp32=cfg.residual_in_fp32)

@@ -83,6 +83,7 @@ def make_train_step(
     max_grad_norm: float = 1.0,
     ema_decay: float = 0.9999,
     use_labels: bool = True,
+    grad_accum: int = 1,
 ) -> Callable:
     """Returns train_step(state, x, y, rng) -> (state, metrics), jitted.
 
@@ -96,25 +97,62 @@ def make_train_step(
     (e.g. `jax.random.split(step_key, mesh.shape["data"])`) sharded over
     'data'.  Injectable per-shard keys make the DP step exactly equal to a
     single-device step that processes the shards sequentially with the same
-    keys (tests/test_parallel.py asserts this)."""
+    keys (tests/test_parallel.py asserts this).
+
+    grad_accum > 1 folds N micro-steps into ONE update inside the jitted
+    step (lax.scan over microbatches before the psum/clip/AdamW tail): the
+    per-step batch is split into N equal microbatches, each processed with
+    its own key from `jax.random.split(step_key, N)`, and the averaged
+    gradient feeds a single optimizer update.  This is how the reference's
+    ImageNet recipe (global batch 704, scripts/train.sh) runs on chip
+    counts whose per-chip batch would not fit: peak activation memory is
+    one microbatch's.  Exactly equals the sequential-replay oracle
+    (tests/test_parallel.py::test_grad_accum_matches_sequential_replay)."""
+
+    def _micro_loss(params, x, y, rng):
+        rng_transport, rng_drop, rng_dpath = jax.random.split(rng, 3)
+
+        def model_fn(xt, t, **kw):
+            return model.apply(
+                {"params": params}, xt, t, train=True,
+                rngs={"label_dropout": rng_drop,
+                      "drop_path": rng_dpath}, **kw)
+
+        kwargs = {"y": y} if use_labels else {}
+        terms = transport.training_losses(model_fn, rng_transport, x,
+                                          kwargs)
+        return terms["loss"].mean()
 
     def local_step(state: TrainState, x, y, rng):
         if mesh is not None:
             rng = rng[0]  # this shard's injected key
-        rng_transport, rng_drop = jax.random.split(rng)
 
-        def loss_fn(params):
-            def model_fn(xt, t, **kw):
-                return model.apply(
-                    {"params": params}, xt, t, train=True,
-                    rngs={"label_dropout": rng_drop}, **kw)
+        if grad_accum > 1:
+            if x.shape[0] % grad_accum:
+                raise ValueError(
+                    f"batch {x.shape[0]} not divisible by "
+                    f"grad_accum {grad_accum}")
+            mb = x.shape[0] // grad_accum
+            xs = x.reshape(grad_accum, mb, *x.shape[1:])
+            ys = y.reshape(grad_accum, mb, *y.shape[1:])
+            keys = jax.random.split(rng, grad_accum)
 
-            kwargs = {"y": y} if use_labels else {}
-            terms = transport.training_losses(model_fn, rng_transport, x,
-                                              kwargs)
-            return terms["loss"].mean()
+            def micro(carry, inp):
+                loss_sum, grad_sum = carry
+                xi, yi, ki = inp
+                loss_i, grads_i = jax.value_and_grad(_micro_loss)(
+                    state.params, xi, yi, ki)
+                return (loss_sum + loss_i,
+                        jax.tree.map(jnp.add, grad_sum, grads_i)), None
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            init = (jnp.zeros(()),
+                    jax.tree.map(jnp.zeros_like, state.params))
+            (loss, grads), _ = lax.scan(micro, init, (xs, ys, keys))
+            loss = loss / grad_accum
+            grads = jax.tree.map(lambda g: g / grad_accum, grads)
+        else:
+            loss, grads = jax.value_and_grad(_micro_loss)(
+                state.params, x, y, rng)
         if mesh is not None:
             grads = lax.pmean(grads, "data")
             loss = lax.pmean(loss, "data")

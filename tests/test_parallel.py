@@ -80,11 +80,12 @@ def _single_device_oracle(model, transport, opt, params, x, y, keys,
     per = x.shape[0] // n
 
     def shard_loss(p, xs, ys, key):
-        kt, kd = jax.random.split(key)
+        kt, kd, kp = jax.random.split(key, 3)
 
         def model_fn(xt, t, **kw):
             return model.apply({"params": p}, xt, t, train=True,
-                               rngs={"label_dropout": kd}, **kw)
+                               rngs={"label_dropout": kd, "drop_path": kp},
+                               **kw)
 
         return transport.training_losses(model_fn, kt, xs,
                                          {"y": ys})["loss"].mean()
@@ -138,6 +139,39 @@ def test_dp_matches_single_device_gradients():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-6, rtol=1e-5)
     for a, b in zip(jax.tree.leaves(s_dp.ema_params),
+                    jax.tree.leaves(ema_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-6, rtol=1e-5)
+
+
+def test_grad_accum_matches_sequential_replay():
+    """grad_accum=N step == the sequential-replay oracle over the N
+    microbatches with the microbatch keys jax.random.split(step_key, N):
+    loss, params and EMA exactly (the DP-oracle pattern applied along the
+    accumulation axis instead of the data axis)."""
+    model, cfg = tiny_model()
+    transport = create_transport("GVP", "velocity")
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 4, 8, 8))
+    y = jnp.arange(8) % 10
+    params = model.init(jax.random.PRNGKey(1), x[:1], jnp.zeros((1,)),
+                        y[:1])["params"]
+    opt = create_optimizer(1e-2)
+    rng = jax.random.PRNGKey(2)
+
+    step = make_train_step(model, transport, opt, mesh=None, grad_accum=4)
+    s_acc, m_acc = step(create_train_state(params, opt), x, y, rng)
+
+    keys = jax.random.split(rng, 4)
+    loss_ref, params_ref, ema_ref = _single_device_oracle(
+        model, transport, opt, params, x, y, keys)
+
+    np.testing.assert_allclose(float(m_acc["loss"]), float(loss_ref),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s_acc.params),
+                    jax.tree.leaves(params_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-6, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_acc.ema_params),
                     jax.tree.leaves(ema_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-6, rtol=1e-5)
