@@ -49,6 +49,12 @@ def parse_args(argv=None):
                    help="tensor-parallel ways: shard params over a 'model' "
                         "mesh axis via GSPMD (TPU extension; the reference "
                         "is data-parallel only)")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="fold N micro-steps into one optimizer update "
+                        "inside the jitted step (lax.scan over "
+                        "microbatches); lets the reference's global-batch "
+                        "704 ImageNet recipe (scripts/train.sh) run at "
+                        "per-chip batches that exceed memory")
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--max-grad-norm", type=float, default=2.0)
     p.add_argument("--no-lr-decay", action="store_true", default=False)
@@ -161,10 +167,18 @@ def main():
 
     # tp: GSPMD jit (mesh=None step; shardings come from the placed arrays).
     # dp: shard_map over 'data' with injected per-shard keys.
+    per_dev_batch = args.global_batch_size // max(n_dev, 1)
+    if args.grad_accum > 1:
+        assert per_dev_batch % args.grad_accum == 0, (
+            f"per-device batch {per_dev_batch} not divisible by "
+            f"--grad-accum {args.grad_accum}")
+        logger.info(f"grad accumulation: {args.grad_accum} microbatches of "
+                    f"{per_dev_batch // args.grad_accum}/device per update")
     train_step = make_train_step(model, transport, optimizer,
                                  mesh=None if use_tp else mesh,
                                  max_grad_norm=args.max_grad_norm,
-                                 use_labels=use_labels)
+                                 use_labels=use_labels,
+                                 grad_accum=args.grad_accum)
     n_data_shards = (mesh.shape["data"] if (mesh is not None and not use_tp)
                      else 0)
 
