@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+_FLASH_IMPORT_WARNED = False
+
 
 def _sdpa(q, k, v):
     """q/k/v: (B, L, H, Dh).  Default: XLA dot_product_attention.
@@ -37,13 +39,24 @@ def _sdpa(q, k, v):
         try:
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 flash_attention)
+        except ImportError:
+            # warn once, loudly: the user explicitly requested flash and
+            # would otherwise benchmark the XLA path believing it is flash
+            global _FLASH_IMPORT_WARNED
+            if not _FLASH_IMPORT_WARNED:
+                import warnings
 
+                warnings.warn(
+                    "DIMSUM_FLASH_ATTN=1 requested but the Pallas "
+                    "flash-attention module could not be imported; "
+                    "falling back to XLA dot_product_attention",
+                    RuntimeWarning, stacklevel=2)
+                _FLASH_IMPORT_WARNED = True
+        else:
             bhld = lambda t: t.transpose(0, 2, 1, 3)
             out = flash_attention(bhld(q), bhld(k), bhld(v),
                                   sm_scale=q.shape[-1] ** -0.5)
             return out.transpose(0, 2, 1, 3)
-        except Exception:
-            pass
     return jax.nn.dot_product_attention(q, k, v)
 
 

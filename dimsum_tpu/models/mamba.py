@@ -154,6 +154,13 @@ class Mamba(nn.Module):
             # opt-in extension: seed the scan state with the projected cond
             h0 = cond_emb[:, :, None] * jnp.ones((1, 1, d_state))
         if h0 is not None:
+            if self.seq_axis is not None:
+                # inside shard_map each shard would apply h0 locally with no
+                # cross-shard carry -- silently wrong; refuse instead
+                raise NotImplementedError(
+                    "use_cond_init h0 seeding is not supported with "
+                    "seq_axis (sequence parallelism): h0 must enter on "
+                    "shard 0 only and be carried across shards")
             return selective_scan_xla(
                 x_conv, dt, A, Bm, Cm, D, z=z, delta_bias=dt_bias,
                 delta_softplus=True, h0=h0,

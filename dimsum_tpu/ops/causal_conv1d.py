@@ -56,6 +56,12 @@ def causal_conv1d_halo(x, weight, bias=None, activation: str | None = "silu",
     halo is zeros == the unsharded zero padding (ppermute leaves
     unaddressed destinations zero)."""
     W = weight.shape[1]
+    if x.shape[1] < W - 1:
+        raise ValueError(
+            f"causal_conv1d_halo: per-shard seqlen {x.shape[1]} is shorter "
+            f"than the conv halo width {W - 1}; the single-hop halo "
+            f"exchange would silently diverge from the unsharded conv -- "
+            f"use fewer sequence shards")
     k = lax.axis_size(axis_name)
     halo = x[:, x.shape[1] - (W - 1):, :]
     prev = lax.ppermute(halo, axis_name,

@@ -111,6 +111,24 @@ def test_combined_block_freq_variants():
         assert y.shape == x.shape
 
 
+def test_combined_block_bf16_dtype_uniformity():
+    """Under dtype=bf16 every freq variant must return bf16 hidden states;
+    EinFFT used to hardcode fp32 output, silently upcasting the frequency
+    branch (VERDICT r2 weak #4)."""
+    for variant, extra in [("wave", {}),
+                           ("dct", dict(mixer_kwargs_2=dict(scan_impl="xla"))),
+                           ("einfft", {})]:
+        blk = DiMBlockCombined(dim=32, mixer_kwargs=dict(scan_impl="xla"),
+                               freq_variant=variant, dtype=jnp.bfloat16,
+                               **extra)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 32),
+                              jnp.bfloat16)
+        c = jax.random.normal(jax.random.PRNGKey(1), (1, 32), jnp.bfloat16)
+        params = blk.init(jax.random.PRNGKey(2), x, None, c)
+        y, _ = blk.apply(params, x, None, c)
+        assert y.dtype == jnp.bfloat16, (variant, y.dtype)
+
+
 def test_switch_mlp_top1():
     m = SwitchMLP(dim=16, num_moe_experts=4)
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 16))
