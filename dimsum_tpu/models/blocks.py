@@ -18,6 +18,7 @@ surrounding ops.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional
 
 import jax
@@ -26,7 +27,9 @@ import flax.linen as nn
 from einops import rearrange
 
 from dimsum_tpu.ops.norms import fused_add_norm, layer_norm, modulate
-from dimsum_tpu.ops.wavelet import dwt_tokens, idwt_tokens
+from dimsum_tpu.ops.wavelet import (
+    dwt_tokens, idwt_tokens, wavelet_pack_windowed, wavelet_unpack_windowed,
+)
 from dimsum_tpu.ops.dct import dct_patch, idct_patch
 from dimsum_tpu.ops.scan_orders import local_scan, local_reverse
 from dimsum_tpu.models.mamba import Mamba
@@ -298,14 +301,31 @@ class WaveDiMBlock(nn.Module, _DropPathMixin):
 
         L = hidden_states.shape[1]
         h = w = _square_side(L)
-        hidden_states = dwt_tokens(hidden_states, self.num_wavelet_lv)
         patch = 2 ** self.num_wavelet_lv
         column_first = bool(self.transpose)
-        if self.window_scan:
-            hidden_states = local_scan(hidden_states, w=w // patch, H=h, W=w,
-                                       column_first=column_first)
-        elif self.transpose:
-            hidden_states = _transpose_tokens(hidden_states, h, w)
+        # local_scan(dwt_tokens(x)) composes into one basis einsum + one
+        # lane-aligned transpose (wavelet.py).  Wins in ISOLATION (1.26 ->
+        # 1.07 ms/roundtrip microbench) but measured 4% SLOWER end-to-end
+        # (0.9126 -> 0.8746 img/s, r3): the dot_general fixes operand/
+        # result layouts and breaks the transpose fusion XLA otherwise does
+        # with neighboring elementwise ops.  Kept opt-in; negative result,
+        # do not flip without re-measuring bench.py.
+        fused_pack = (self.window_scan
+                      and hidden_states.shape[-1] % patch ** 2 == 0
+                      and h % patch == 0
+                      and os.environ.get("DIMSUM_FUSED_WAVELET", "0") == "1")
+        if fused_pack:
+            hidden_states = wavelet_pack_windowed(
+                hidden_states, self.num_wavelet_lv,
+                column_first=column_first)
+        else:
+            hidden_states = dwt_tokens(hidden_states, self.num_wavelet_lv)
+            if self.window_scan:
+                hidden_states = local_scan(hidden_states, w=w // patch,
+                                           H=h, W=w,
+                                           column_first=column_first)
+            elif self.transpose:
+                hidden_states = _transpose_tokens(hidden_states, h, w)
         if self.scanning_continuity:
             hidden_states = _scanning_continuity(hidden_states, h, w)
         if self.reverse:
@@ -332,12 +352,18 @@ class WaveDiMBlock(nn.Module, _DropPathMixin):
             hidden_states = jnp.flip(hidden_states, axis=1)
         if self.scanning_continuity:
             hidden_states = _scanning_continuity(hidden_states, h, w)
-        if self.window_scan:
-            hidden_states = local_reverse(hidden_states, w=w // patch, H=h,
-                                          W=w, column_first=column_first)
-        elif self.transpose:
-            hidden_states = _transpose_tokens(hidden_states, h, w)
-        hidden_states = idwt_tokens(hidden_states, self.num_wavelet_lv)
+        if fused_pack:
+            hidden_states = wavelet_unpack_windowed(
+                hidden_states, self.num_wavelet_lv,
+                column_first=column_first)
+        else:
+            if self.window_scan:
+                hidden_states = local_reverse(hidden_states, w=w // patch,
+                                              H=h, W=w,
+                                              column_first=column_first)
+            elif self.transpose:
+                hidden_states = _transpose_tokens(hidden_states, h, w)
+            hidden_states = idwt_tokens(hidden_states, self.num_wavelet_lv)
         return hidden_states, residual
 
 

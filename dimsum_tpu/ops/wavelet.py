@@ -25,10 +25,16 @@ parity rather than "fixing" it.
 
 from __future__ import annotations
 
+import functools
+
+import numpy as np
 import jax.numpy as jnp
 from einops import rearrange
 
-__all__ = ["dwt2d", "idwt2d", "dwt_tokens", "idwt_tokens"]
+__all__ = [
+    "dwt2d", "idwt2d", "dwt_tokens", "idwt_tokens",
+    "wavelet_pack_windowed", "wavelet_unpack_windowed",
+]
 
 
 def dwt2d(x):
@@ -102,3 +108,201 @@ def idwt_tokens(x, num_lv: int = 2):
     else:
         out = idwt2d(jnp.concatenate(groups, axis=1))
     return rearrange(out, "b c h w -> b (h w) c")
+
+
+# ---------------------------------------------------------------------------
+# Fused windowed wavelet pack: local_scan(dwt_tokens(x)) as one basis einsum
+# + one lane-aligned transpose.
+#
+# The straight composition is the v5e profile's single largest relayout cost
+# (~2.6 ms/forward): dwt2d works in (B, C, H, W) with the 4-8 wide spatial
+# dims minor (3-6% lane utilization), and the pack/local_scan pair moves the
+# data twice more.  The whole pipeline is LINEAR and 4x4-block-local over
+# the token grid, but NOT channel-separable: the reference's rearrange
+# "(c p1 p2) h w -> (h p1 w p2) c" reinterprets the (subband, channel)
+# axis as (channel, token), so (for C = G*16 channels) output channel
+# c2 = q*G + g at within-block token r = p1*4+p2 holds subband q of INPUT
+# channel g*16 + r.  Fused form: split channels (g, r), contract the 16
+# block tokens k with the constant packet basis M0[q, k] (probed through
+# the numpy twin of the reference pipeline, so the group interleave is
+# captured by construction), and emit (tokens: h, w, r) x (channels: q, g)
+# -- which for window == 4 IS local_scan order, no further relayout.
+# Exact up to fp reassociation; parity asserted in
+# tests/test_ops.py::test_wavelet_pack_windowed_matches_composition.
+# ---------------------------------------------------------------------------
+
+
+def _np_dwt2d(x):
+    B, C, H, W = x.shape
+    xb = x.reshape(B, C, H // 2, 2, W // 2, 2)
+    a, b = xb[:, :, :, 0, :, 0], xb[:, :, :, 0, :, 1]
+    c, d = xb[:, :, :, 1, :, 0], xb[:, :, :, 1, :, 1]
+    return np.concatenate([0.5 * (a + b + c + d), 0.5 * (a + b - c - d),
+                           0.5 * (a - b + c - d), 0.5 * (a - b - c + d)],
+                          axis=1)
+
+
+def _np_idwt2d(x):
+    B, C4, H, W = x.shape
+    ll, lh, hl, hh = np.split(x, 4, axis=1)
+    a = 0.5 * (ll + lh + hl + hh)
+    b = 0.5 * (ll + lh - hl - hh)
+    c = 0.5 * (ll - lh + hl - hh)
+    d = 0.5 * (ll - lh - hl + hh)
+    out = np.stack([np.stack([a, b], axis=-1),
+                    np.stack([c, d], axis=-1)], axis=-2)
+    return out.transpose(0, 1, 2, 4, 3, 5).reshape(B, C4 // 4, 2 * H, 2 * W)
+
+
+def _np_dwt_tokens(x, num_lv):
+    B, L, C = x.shape
+    side = int(round(L ** 0.5))
+    xg = x.reshape(B, side, side, C).transpose(0, 3, 1, 2)
+    sub = _np_dwt2d(xg)
+    scale = float(2 ** num_lv)
+    patch = 2 ** num_lv
+    if num_lv > 1:
+        out = _np_dwt2d(sub) / scale
+        groups = np.split(out, patch * patch, axis=1)
+        out = np.concatenate([groups[i] for i in _group_perm(patch)], axis=1)
+    else:
+        out = sub / scale
+    # "b (c p1 p2) h w -> b (h p1 w p2) c"
+    Bn, CP, Hs, Ws = out.shape
+    out = out.reshape(B, C, patch, patch, Hs, Ws)
+    out = out.transpose(0, 4, 2, 5, 3, 1).reshape(B, L, C)
+    return out
+
+
+def _np_idwt_tokens(x, num_lv):
+    B, L, C = x.shape
+    scale = float(2 ** num_lv)
+    patch = 2 ** num_lv
+    lowest = int(round(L ** 0.5)) // patch
+    xs = (x * scale).reshape(B, lowest, patch, lowest, patch, C)
+    sub = xs.transpose(0, 5, 2, 4, 1, 3).reshape(B, C * patch * patch,
+                                                 lowest, lowest)
+    groups = np.split(sub, patch * patch, axis=1)
+    if num_lv > 1:
+        sub = np.concatenate([groups[i] for i in _group_perm(patch)], axis=1)
+        out = _np_idwt2d(_np_idwt2d(sub))
+    else:
+        out = _np_idwt2d(np.concatenate(groups, axis=1))
+    return out.transpose(0, 2, 3, 1).reshape(B, L, C)
+
+
+@functools.lru_cache(maxsize=None)
+def _packet_basis(num_lv: int):
+    """(M0, M0inv): M0[q, k] maps the 16 row-major tokens k of one block to
+    packet coefficient q (in the reference's post-group-interleave order);
+    M0inv is the exact inverse.  Probed with a SINGLE channel (C=1), where
+    the reference rearrange is channel-separable, through the numpy twin of
+    the reference pipeline."""
+    p = 2 ** num_lv
+    n = p * p
+    cols = []
+    for k in range(n):
+        e = np.zeros((1, n, 1))
+        e[0, k, 0] = 1.0
+        cols.append(_np_dwt_tokens(e, num_lv)[0][:, 0])
+    M0 = np.stack(cols, axis=1)  # out[q] = sum_k M0[q, k] in[k]
+    cols = []
+    for q in range(n):
+        e = np.zeros((1, n, 1))
+        e[0, q, 0] = 1.0
+        cols.append(_np_idwt_tokens(e, num_lv)[0][:, 0])
+    M0inv = np.stack(cols, axis=1)
+    assert np.allclose(M0 @ M0inv, np.eye(n)), "packet basis not inverse"
+    return (np.asarray(M0, np.float32), np.asarray(M0inv, np.float32))
+
+
+@functools.lru_cache(maxsize=None)
+def _pack_perm(side: int, num_lv: int, window: int, column_first: bool):
+    """Permutation taking the block-major einsum layout (h, w, p1, p2) to
+    local_scan token order over the packed (side x side) grid; None when the
+    layouts coincide up to a cheap transpose handled by the caller."""
+    p = 2 ** num_lv
+    Hb = side // p
+    f = np.arange(side * side).reshape(Hb, Hb, p, p)  # (h, w, p1, p2)
+    F = f.transpose(0, 2, 1, 3).reshape(side, side)    # packed grid (R, C')
+    Hg, wz = side // window, window
+    G = F.reshape(Hg, wz, Hg, wz)
+    if column_first:
+        order = G.transpose(2, 0, 3, 1)  # (Wg, Hg, wj, wi)
+    else:
+        order = G.transpose(0, 2, 1, 3)  # (Hg, Wg, wi, wj)
+    return np.asarray(order.reshape(-1), np.int32)
+
+
+def wavelet_pack_windowed(x, num_lv: int = 2, window: int | None = None,
+                          column_first: bool = False):
+    """== local_scan(dwt_tokens(x, num_lv), w=window, H, W, column_first)
+    with window defaulting to side // 2**num_lv (the WaveDiMBlock wiring).
+    Requires C % (2**num_lv)**2 == 0 (all DiMSUM configs; callers fall back
+    to the composition otherwise)."""
+    B, L, C = x.shape
+    side = int(round(L ** 0.5))
+    p = 2 ** num_lv
+    n = p * p
+    window = side // p if window is None else window
+    Hb = side // p
+    if C % n or side % p:
+        raise ValueError(
+            f"fused wavelet pack needs C % {n} == 0 and side % {p} == 0 "
+            f"(got C={C}, side={side}); use local_scan(dwt_tokens(x))")
+    G = C // n
+    M0, _ = _packet_basis(num_lv)
+
+    # (B, h, i, w, j, C) -> (B, h, w, k=(i,j), g, r) with channels split as
+    # c = g*n + r
+    xb = x.reshape(B, Hb, p, Hb, p, G, n).transpose(0, 1, 3, 2, 4, 5, 6)
+    xb = xb.reshape(B, Hb * Hb, n, G, n)
+    # tokens out: (h, w, r); channels out: c2 = q*G + g.  Basis entries are
+    # signed powers of two, exact in bf16: matching x.dtype keeps the MXU
+    # on the fast path (products exact, fp32 accumulation) -- forcing fp32
+    # here cost 7% END-TO-END (measured r3, 0.9125 -> 0.8483 img/s).
+    y = jnp.einsum("bnkgr,qk->bnrqg", xb, jnp.asarray(M0, x.dtype))
+    y = y.reshape(B, L, C)
+    if window == p and not column_first:
+        return y
+    if window == p:
+        # (h, w, p1, p2) -> (w, h, p2, p1) token order
+        y = y.reshape(B, Hb, Hb, p, p, C).transpose(0, 2, 1, 4, 3, 5)
+        return y.reshape(B, L, C)
+    perm = jnp.asarray(_pack_perm(side, num_lv, window, column_first))
+    return jnp.take(y, perm, axis=1)
+
+
+def wavelet_unpack_windowed(x, num_lv: int = 2, window: int | None = None,
+                            column_first: bool = False):
+    """Inverse of `wavelet_pack_windowed`:
+    == idwt_tokens(local_reverse(x, ...), num_lv)."""
+    B, L, C = x.shape
+    side = int(round(L ** 0.5))
+    p = 2 ** num_lv
+    n = p * p
+    window = side // p if window is None else window
+    Hb = side // p
+    if C % n or side % p:
+        raise ValueError(
+            f"fused wavelet unpack needs C % {n} == 0 and side % {p} == 0 "
+            f"(got C={C}, side={side})")
+    G = C // n
+    _, M0inv = _packet_basis(num_lv)
+
+    if window == p and column_first:
+        y = x.reshape(B, Hb, Hb, p, p, C).transpose(0, 2, 1, 4, 3, 5)
+        y = y.reshape(B, L, C)
+    elif window != p:
+        perm = _pack_perm(side, num_lv, window, column_first)
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(L, dtype=np.int32)
+        y = jnp.take(x, jnp.asarray(inv), axis=1)
+    else:
+        y = x
+    yb = y.reshape(B, Hb * Hb, n, n, G)  # (b, blk, r, q, g): c2 = q*G + g
+    # invert: x[b, blk, k, g*n + r] = sum_q M0inv[k, q] y[b, blk, r, q, g]
+    out = jnp.einsum("bnrqg,kq->bnkgr", yb, jnp.asarray(M0inv, x.dtype))
+    out = out.reshape(B, Hb, Hb, p, p, G, n)
+    out = out.transpose(0, 1, 3, 2, 4, 5, 6)  # (B, h, i, w, j, G, n)
+    return out.reshape(B, L, C)

@@ -137,6 +137,40 @@ def test_dwt_tokens_roundtrip():
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_wavelet_pack_windowed_matches_composition():
+    """Fused pack == local_scan(dwt_tokens(x)) and fused unpack ==
+    idwt_tokens(local_reverse(x)) for both window orientations and for
+    grids where the window equals / differs from the block size (256-res
+    grid 16 -> window 4 == p; 512-res grid 32 -> window 8 != p)."""
+    from dimsum_tpu.ops.scan_orders import local_reverse, local_scan
+    from dimsum_tpu.ops.wavelet import (
+        wavelet_pack_windowed, wavelet_unpack_windowed,
+    )
+
+    rng = np.random.default_rng(8)
+    for side in (16, 32):
+        L = side * side
+        x = rng.standard_normal((2, L, 32)).astype(np.float32)
+        for cf in (False, True):
+            window = side // 4
+            want = local_scan(dwt_tokens(x, 2), w=window, H=side, W=side,
+                              column_first=cf)
+            got = wavelet_pack_windowed(x, 2, column_first=cf)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-5, atol=1e-5,
+                                       err_msg=f"pack side={side} cf={cf}")
+            back_want = idwt_tokens(
+                local_reverse(got, w=window, H=side, W=side,
+                              column_first=cf), 2)
+            back = wavelet_unpack_windowed(got, 2, column_first=cf)
+            np.testing.assert_allclose(np.asarray(back),
+                                       np.asarray(back_want),
+                                       rtol=1e-5, atol=1e-5,
+                                       err_msg=f"unpack side={side} cf={cf}")
+            np.testing.assert_allclose(np.asarray(back), x,
+                                       rtol=1e-4, atol=1e-5)
+
+
 def test_dwt_tokens_energy_scaling():
     """2-level pack divides by 4 (reference :579): constant image maps the
     LL-of-LL band to mean value."""
