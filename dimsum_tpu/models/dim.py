@@ -88,6 +88,12 @@ class DiMConfig:
     scan_impl: Optional[str] = None
     grad_checkpoint: bool = False  # remat each block (reference DiT's
     #                                set_gradient_checkpointing equivalent)
+    seq_axis: Optional[str] = None  # TPU extension: sequence parallelism --
+    seq_mesh: Any = None            # every mixer runs its halo conv + two-
+    #                                 pass scan in a shard_map island over
+    #                                 this mesh axis; the rest of the model
+    #                                 stays GSPMD (for L=1024+ configs;
+    #                                 requires scan_type "none")
 
     @property
     def eff_depth(self) -> int:
@@ -138,6 +144,9 @@ class DiM(nn.Module):
             scan_type=cfg.scan_type,
             scan_impl=cfg.scan_impl,
         )
+        if cfg.seq_axis is not None:
+            mk["seq_axis"] = cfg.seq_axis
+            mk["seq_mesh"] = cfg.seq_mesh
         if cfg.cond_mamba:
             mk["d_cond"] = cfg.hidden_size
             mk["use_cond_init"] = cfg.use_cond_init

@@ -98,6 +98,12 @@ class Mamba(nn.Module):
     zigzag_paths_reverse: Optional[np.ndarray] = None  # inverse perms
     scan_impl: Optional[str] = None
     seq_axis: Optional[str] = None  # shard_map axis name: sequence-parallel
+    seq_mesh: Any = None  # when set, the mixer opens its OWN shard_map
+    #                       islands (halo conv + two-pass scan) over
+    #                       seq_axis, so the surrounding model can run as
+    #                       plain GSPMD (DiMConfig.seq_axis plumbs here);
+    #                       when None, the caller must already be inside a
+    #                       shard_map with seq_axis in scope
     dtype: Any = jnp.float32
 
     @property
@@ -117,7 +123,23 @@ class Mamba(nn.Module):
                             (d_inner, self.d_conv))
         conv_b = (self.param(f"conv1d{suffix}_bias", nn.initializers.zeros,
                              (d_inner,)) if self.conv_bias else None)
-        if self.seq_axis is not None:
+        if self.seq_axis is not None and self.seq_mesh is not None:
+            # self-contained SP island: the surrounding model is plain
+            # GSPMD; only the order-sensitive conv enters manual mode
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            sharded = P(None, self.seq_axis, None)
+            x_conv = shard_map(
+                lambda x_, w_, b_: causal_conv1d_halo(
+                    x_, w_, b_, activation="silu",
+                    axis_name=self.seq_axis),
+                mesh=self.seq_mesh,
+                in_specs=(sharded, P(), P()),
+                out_specs=sharded, check_vma=False,
+            )(x_in, conv_w,
+              conv_b if conv_b is not None else jnp.zeros((d_inner,)))
+        elif self.seq_axis is not None:
             # L sharded over a mesh axis (inside shard_map): halo'd conv +
             # two-pass scan with the cross-shard state carried over ICI
             x_conv = causal_conv1d_halo(x_in, conv_w, conv_b,
@@ -165,6 +187,22 @@ class Mamba(nn.Module):
                 x_conv, dt, A, Bm, Cm, D, z=z, delta_bias=dt_bias,
                 delta_softplus=True, h0=h0,
             )
+        if self.seq_axis is not None and self.seq_mesh is not None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            sharded = P(None, self.seq_axis, None)
+            return shard_map(
+                lambda u_, dt_, A_, B_, C_, D_, z_, bias_:
+                selective_scan_seq_parallel(
+                    u_, dt_, A_, B_, C_, D_, z=z_, delta_bias=bias_,
+                    delta_softplus=True, axis_name=self.seq_axis,
+                    impl=self.scan_impl),
+                mesh=self.seq_mesh,
+                in_specs=(sharded, sharded, P(), sharded, sharded, P(),
+                          sharded, P()),
+                out_specs=sharded, check_vma=False,
+            )(x_conv, dt, A, Bm, Cm, D, z, dt_bias)
         if self.seq_axis is not None:
             return selective_scan_seq_parallel(
                 x_conv, dt, A, Bm, Cm, D, z=z, delta_bias=dt_bias,

@@ -188,6 +188,9 @@ def scan_rows(a, x, h0, n_state: int, chunk: int, d_block: int,
     ~40% less VPU work than a single full-width doubling scan (measured on
     v5e) because the doubling width shrinks from chunk to sub.
 
+    dtype follows a/x (fp32 default; bf16 rows are the opt-in
+    DIMSUM_SCAN_ROWS_BF16 experiment, with the h0 fold-in computed in fp32).
+
     Returns (h_full (rows, d_block), h_last (n_state, d_block)).
     """
     f32 = jnp.float32
@@ -203,9 +206,12 @@ def scan_rows(a, x, h0, n_state: int, chunk: int, d_block: int,
         xx = x[i * srows:(i + 1) * srows]
         # fold the carry into the first timestep (x_0' = x_0 + a_0 h_prev):
         # the inclusive scan then yields h directly -- no full-width
-        # stitch multiply afterwards
+        # stitch multiply afterwards (fp32 fold keeps the carry path fp32
+        # even when the row arrays are bf16)
+        seed = (xx[:n_state].astype(f32)
+                + aa[:n_state].astype(f32) * h_prev.astype(f32))
         xx = jnp.concatenate(
-            [xx[:n_state] + aa[:n_state] * h_prev, xx[n_state:]], axis=0)
+            [seed.astype(xx.dtype), xx[n_state:]], axis=0)
         k = 1
         while k < sub:
             # the top k*n rows are already final for this pass -- combine
@@ -221,7 +227,7 @@ def scan_rows(a, x, h0, n_state: int, chunk: int, d_block: int,
         outs.append(xx)
         h_prev = xx[srows - n_state:]
     h = outs[0] if nsub == 1 else jnp.concatenate(outs, axis=0)
-    return h, h_prev
+    return h, h_prev.astype(f32)
 
 
 def scan_rows_rev(a, p, w, n_state: int, chunk: int, d_block: int,
@@ -299,6 +305,7 @@ def _scan_body(
     out_dtype,
     sub: int = 16,
     grouped: bool = False,
+    rows_bf16: bool = False,
 ):
     l_idx = pl.program_id(2)
 
@@ -333,6 +340,11 @@ def _scan_body(
         (dt[:, None, :] * A.T[None, :, :]).reshape(rows, d_block)
     )
     x = ((dt * u)[:, None, :] * Bm[:, :, None]).reshape(rows, d_block)
+    if rows_bf16:
+        # opt-in experiment (DIMSUM_SCAN_ROWS_BF16): bf16 row arrays
+        # through the doubling combines, fp32 carry fold at sub-chunk seams
+        a = a.astype(jnp.bfloat16)
+        x = x.astype(jnp.bfloat16)
 
     # Two-level inclusive scan seeded with the carried state.
     h, h_last = scan_rows(a, x, h_ref[:], n_state, chunk, d_block, sub=sub)
@@ -356,7 +368,7 @@ def _scan_kernel_with_state(
     parallelism and inference caches)."""
     h = _scan_body(u_ref, dt_ref, A_ref, B_ref, C_ref, D_ref, bias_ref,
                    z_ref, h0_ref, out_ref, h_scratch, **kw)
-    last_ref[0] = h[h.shape[0] - kw["n_state"]:, :]
+    last_ref[0] = h[h.shape[0] - kw["n_state"]:, :].astype(last_ref.dtype)
 
 
 def _pick_blocks(seqlen: int, dim: int, n_state: int = 16):
@@ -443,6 +455,7 @@ def _selective_scan_pallas_fwd_impl(
         # double-buffering headroom. Negative result, do not revisit.
         sub=int(os.environ.get("DIMSUM_SCAN_SUB", "8")),
         grouped=grouped,
+        rows_bf16=os.environ.get("DIMSUM_SCAN_ROWS_BF16", "0") == "1",
     )
 
     bld_spec = pl.BlockSpec(

@@ -2,6 +2,7 @@
 
 from dimsum_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
+    make_seq_mesh,
     data_sharding,
     replicated,
     tp_param_specs,

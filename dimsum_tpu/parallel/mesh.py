@@ -46,6 +46,20 @@ def make_mesh(data: Optional[int] = None, model: int = 1,
     return Mesh(dev_array, axis_names=("data", "model"))
 
 
+def make_seq_mesh(data: int = 1, seq: Optional[int] = None,
+                  devices=None) -> Mesh:
+    """(data, seq) mesh for sequence parallelism (DiMConfig.seq_axis="seq"):
+    batch over 'data', the token axis of every mixer's conv+scan over 'seq'
+    (halo + two-pass state exchange over ICI). For L=1024+ configs."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if seq is None:
+        seq = n // data
+    assert data * seq == n, f"{data}x{seq} != {n} devices"
+    return Mesh(np.asarray(devices).reshape(data, seq),
+                axis_names=("data", "seq"))
+
+
 def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
     """Shard the leading (batch) axis over 'data'."""
     return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))

@@ -115,3 +115,34 @@ def test_mamba_mixer_seq_parallel_matches_single_device():
         out_specs=P(None, "seq", None), check_vma=False))(x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_dim_seq_parallel_matches_unsharded_L1024():
+    """DiMConfig.seq_axis: a full DiM (combined block, grid 32 -> L=1024,
+    the 512-res token count) with every mixer's conv+scan in shard_map
+    islands over an 8-way 'seq' mesh == the unsharded model, same params."""
+    from dimsum_tpu.models.dim import DiM, DiMConfig
+    from dimsum_tpu.parallel import make_seq_mesh
+
+    mesh = make_seq_mesh(data=1, seq=8)
+    base = dict(img_resolution=64, patch_size=2, in_channels=4,
+                hidden_size=32, depth=2, num_classes=10, rms_norm=True,
+                block_type="combined", cond_mamba=True, scan_impl="xla")
+    cfg_ref = DiMConfig(**base)
+    cfg_sp = DiMConfig(**base, seq_axis="seq", seq_mesh=mesh)
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 64, 64))
+    t = jnp.array([0.3, 0.7])
+    y = jnp.array([1, 2])
+    m_ref, m_sp = DiM(cfg_ref), DiM(cfg_sp)
+    params = m_ref.init(jax.random.PRNGKey(1), x, t, y)
+    # same param tree: seq parallelism adds no parameters
+    jax.tree_util.tree_all(jax.tree.map(lambda a, b: a.shape == b.shape,
+                                        params,
+                                        jax.eval_shape(m_sp.init,
+                                                       jax.random.PRNGKey(1),
+                                                       x, t, y)))
+    want = m_ref.apply(params, x, t, y)
+    got = jax.jit(lambda p, *a: m_sp.apply(p, *a))(params, x, t, y)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-4)
