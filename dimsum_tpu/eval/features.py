@@ -68,6 +68,62 @@ class RandomProjectionDetector:
         return moments @ self._w
 
 
+class RandomLPIPS:
+    """Random-He conv-stack stand-in for the reference's vgg16.pt LPIPS
+    detector (perceptual_path_length.py:99 contract: float NCHW images in
+    [0, 255] -> (N, F) embeddings whose squared-difference sum is the
+    perceptual distance).  Deterministic per seed; for exercising the PPL
+    pipeline in this zero-egress environment -- drop in the real vgg16.pt
+    for reference-comparable numbers (TRAINING.md random-detector
+    pattern)."""
+
+    def __init__(self, num_features: int = 128, seed: int = 0):
+        self.num_features = num_features
+        self.seed = seed
+        self._apply = None
+
+    def _build(self, C):
+        import jax
+        import jax.numpy as jnp
+
+        ks = jax.random.split(jax.random.PRNGKey(self.seed), 4)
+        he = lambda k, shape, fan: (
+            jax.random.normal(k, shape, jnp.float32)
+            * np.sqrt(2.0 / fan))
+        w1 = he(ks[0], (5, 5, C, 32), 5 * 5 * C)
+        w2 = he(ks[1], (3, 3, 32, 64), 3 * 3 * 32)
+        w3 = he(ks[2], (3, 3, 64, 128), 3 * 3 * 64)
+        wf = he(ks[3], (128 * 2, self.num_features), 128 * 2)
+
+        @jax.jit
+        def apply(x):  # (N, C, H, W) in [0, 255]
+            x = x.transpose(0, 2, 3, 1) / 127.5 - 1.0
+            for w, s in ((w1, 4), (w2, 2), (w3, 2)):
+                x = jax.lax.conv_general_dilated(
+                    x, w, (s, s), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                x = jax.nn.relu(x)
+            feats = jnp.concatenate(
+                [x.mean(axis=(1, 2)), x.max(axis=(1, 2))], axis=-1)
+            return feats @ wf
+
+        self._apply = apply
+
+    def __call__(self, images: np.ndarray) -> np.ndarray:
+        if self._apply is None:
+            self._build(images.shape[1])
+        return np.asarray(self._apply(np.asarray(images, np.float32)))
+
+
+def make_lpips(spec: str):
+    """LPIPS detector factory: "random-lpips[:seed]" -> RandomLPIPS
+    stand-in; anything else -> TorchScript vgg16.pt (bit-parity path)."""
+    if spec == "random-lpips" or spec.startswith("random-lpips:"):
+        seed = int(spec.split(":", 1)[1]) if ":" in spec else 0
+        return RandomLPIPS(seed=seed)
+    return TorchScriptDetector(spec, resize_images=False, return_lpips=True)
+
+
 def make_detector(spec: Optional[str]):
     """Detector factory shared by calc_metrics / sample_ddp / train.
 

@@ -55,8 +55,10 @@ def parse_args(argv=None):
                         "registered ppl metric name (ppl2_zend, ppl_zend, "
                         "ppl_zfull; see eval/ppl.py scope note)")
     p.add_argument("--ppl-detector", type=str, default=None,
-                   help="TorchScript vgg16.pt path (return_lpips contract); "
-                        "required with --compute-ppl")
+                   help="TorchScript vgg16.pt path (return_lpips contract) "
+                        "or 'random-lpips[:seed]' for the seeded random "
+                        "stand-in (zero-egress smoke); required with "
+                        "--compute-ppl")
     p.add_argument("--ppl-samples", type=int, default=None,
                    help="override the metric's sample count (smoke runs)")
     args = p.parse_args(argv)
@@ -196,18 +198,18 @@ def main():
 
     if args.mode == "ODE" and getattr(args, "compute_ppl", None):
         from dimsum_tpu.eval import calc_metric, report_metric
-        from dimsum_tpu.eval.features import TorchScriptDetector
+        from dimsum_tpu.eval.features import make_lpips
 
         if not args.ppl_detector:
-            raise SystemExit("--compute-ppl needs --ppl-detector (vgg16.pt)")
+            raise SystemExit("--compute-ppl needs --ppl-detector (vgg16.pt "
+                             "or 'random-lpips[:seed]' stand-in)")
         if not args.vae_ckpt:
             raise SystemExit("--compute-ppl needs --vae-ckpt to decode")
         from dimsum_tpu.models.vae import load_vae
 
         vae_m, vae_p = load_vae(args.vae_ckpt)
         # the vgg16.pt contract (reference perceptual_path_length.py:99)
-        lpips = TorchScriptDetector(args.ppl_detector, resize_images=False,
-                                    return_lpips=True)
+        lpips = make_lpips(args.ppl_detector)
 
         @jax.jit
         def ppl_sample(params, z, y):
