@@ -24,15 +24,17 @@ _FLASH_IMPORT_WARNED = False
 
 
 def _sdpa(q, k, v):
-    """q/k/v: (B, L, H, Dh).  Default: XLA dot_product_attention.
-
-    DIMSUM_FLASH_ATTN=1 opts into the Pallas TPU flash-attention kernel
-    (no (L, L) score materialization).  Measured on v5e at the headline
-    L=256: flash is 19% SLOWER end-to-end (0.742 vs 0.9125 img/s) -- the
-    kernel's grid/launch overhead dwarfs the ~100 MB score-HBM savings at
-    short L; fwd/grad parity vs XLA verified at bf16 tolerance.  Use it
-    for long-sequence configs (512-res -> 1024+ tokens), not here."""
-    use_flash = (os.environ.get("DIMSUM_FLASH_ATTN", "0") == "1"
+    """q/k/v: (B, L, H, Dh).  Default: XLA dot_product_attention for
+    L < 1024, the Pallas TPU flash-attention kernel (no (L, L) score
+    materialization) from L >= 1024 -- the measured v5e crossover: at the
+    headline L=256 flash is 19% SLOWER end-to-end (0.742 vs 0.9125 img/s,
+    launch/grid overhead dwarfs the score-HBM savings) while at L=1024
+    (512-res forward) it wins by 2.3% (47.6 vs 48.7 ms).  Override with
+    DIMSUM_FLASH_ATTN=1 (always) / =0 (never); fwd+grad parity vs XLA
+    verified on-chip at bf16 tolerance."""
+    mode = os.environ.get("DIMSUM_FLASH_ATTN", "auto")
+    want = mode == "1" or (mode not in ("0", "1") and q.shape[1] >= 1024)
+    use_flash = (want
                  and jax.default_backend() in ("tpu", "axon")
                  and q.shape[1] % 128 == 0 and q.shape[3] >= 64)
     if use_flash:

@@ -135,32 +135,90 @@ def _gen_paths(grid_size: int, scan_type: str, depth: int):
     return fwd, bwd
 
 
+def _mixer_kwargs_for(layer_idx: int, cfg: DiMConfig, paths, paths2):
+    mk = dict(
+        layer_idx=layer_idx,
+        scan_type=cfg.scan_type,
+        scan_impl=cfg.scan_impl,
+    )
+    if cfg.seq_axis is not None:
+        mk["seq_axis"] = cfg.seq_axis
+        mk["seq_mesh"] = cfg.seq_mesh
+    if cfg.cond_mamba:
+        mk["d_cond"] = cfg.hidden_size
+        mk["use_cond_init"] = cfg.use_cond_init
+    zig = cfg.scan_type.split("_")[0] in ("zigma", "sweep", "jpeg")
+    if zig:
+        mk["zigzag_paths"] = paths[0]
+        mk["zigzag_paths_reverse"] = paths[1]
+    mk2 = dict(mk)
+    if cfg.block_type == "combined_fourier":
+        mk2 = dict(layer_idx=layer_idx, scan_type="jpeg_2",
+                   scan_impl=cfg.scan_impl, d_cond=cfg.hidden_size,
+                   zigzag_paths=paths2[0],
+                   zigzag_paths_reverse=paths2[1])
+    return mk, mk2
+
+
+def make_dim_block(i: int, cfg: DiMConfig, paths, paths2,
+                   drop_path_rate: float = 0.0, name=None):
+    """create_block dispatch (reference :2001-2160) as a free function so
+    callers outside a module context (e.g. the pipeline-parallel stage
+    templates) can build unbound blocks with name=None."""
+    if cfg.is_moe and i % 2 != 0:
+        # the reference's MoEBlock receives no drop_path (:2150-2157)
+        return MoEBlock(
+            dim=cfg.hidden_size, rms_norm=cfg.rms_norm,
+            residual_in_fp32=cfg.residual_in_fp32,
+            num_moe_experts=cfg.num_moe_experts,
+            add_bias_linear=cfg.add_bias_linear,
+            gated_linear_unit=cfg.gated_linear_unit,
+            routing_mode=cfg.routing_mode,
+            ep_axis=cfg.moe_ep_axis, ep_mesh=cfg.moe_ep_mesh,
+            capacity_factor=cfg.moe_capacity_factor, dtype=cfg.dtype,
+            name=name)
+
+    mk, mk2 = _mixer_kwargs_for(i, cfg, paths, paths2)
+    alternate = cfg.scan_type == "none"
+    reverse = alternate and (i % 2 > 0)
+    transpose = alternate and (i % 4 >= 2)
+    common = dict(
+        dim=cfg.hidden_size, mixer_kwargs=mk, rms_norm=cfg.rms_norm,
+        residual_in_fp32=cfg.residual_in_fp32,
+        drop_path_rate=drop_path_rate,
+        dtype=cfg.dtype, name=name)
+
+    if cfg.block_type == "raw":
+        return MixerBlockCore(
+            no_ffn=True, reverse=reverse, transpose=transpose,
+            scanning_continuity=cfg.scanning_continuity, **common)
+    if cfg.block_type == "wave":
+        return WaveDiMBlock(
+            reverse=reverse, transpose=transpose,
+            scanning_continuity=cfg.scanning_continuity,
+            window_scan=False, **common)
+    if cfg.block_type == "window":
+        return DiMBlockWindow(
+            reverse=False, transpose=reverse, shift_window=False,
+            use_gated_mlp=cfg.use_gated_mlp, **common)
+    if cfg.block_type in ("combined", "combined_fourier",
+                          "combined_einfft"):
+        variant = {"combined": "wave", "combined_fourier": "dct",
+                   "combined_einfft": "einfft"}[cfg.block_type]
+        return DiMBlockCombined(
+            reverse=reverse, transpose=transpose,
+            scanning_continuity=cfg.scanning_continuity,
+            use_gated_mlp=cfg.use_gated_mlp, freq_variant=variant,
+            mixer_kwargs_2=mk2, **common)
+    # default: "linear"
+    return MixerBlockCore(
+        no_ffn=False, reverse=reverse, transpose=transpose,
+        scanning_continuity=cfg.scanning_continuity,
+        use_gated_mlp=cfg.use_gated_mlp, **common)
+
+
 class DiM(nn.Module):
     cfg: DiMConfig
-
-    def _mixer_kwargs(self, layer_idx: int, cfg: DiMConfig, paths, paths2):
-        mk = dict(
-            layer_idx=layer_idx,
-            scan_type=cfg.scan_type,
-            scan_impl=cfg.scan_impl,
-        )
-        if cfg.seq_axis is not None:
-            mk["seq_axis"] = cfg.seq_axis
-            mk["seq_mesh"] = cfg.seq_mesh
-        if cfg.cond_mamba:
-            mk["d_cond"] = cfg.hidden_size
-            mk["use_cond_init"] = cfg.use_cond_init
-        zig = cfg.scan_type.split("_")[0] in ("zigma", "sweep", "jpeg")
-        if zig:
-            mk["zigzag_paths"] = paths[0]
-            mk["zigzag_paths_reverse"] = paths[1]
-        mk2 = dict(mk)
-        if cfg.block_type == "combined_fourier":
-            mk2 = dict(layer_idx=layer_idx, scan_type="jpeg_2",
-                       scan_impl=cfg.scan_impl, d_cond=cfg.hidden_size,
-                       zigzag_paths=paths2[0],
-                       zigzag_paths_reverse=paths2[1])
-        return mk, mk2
 
     @staticmethod
     def _drop_path_rates(cfg: DiMConfig):
@@ -174,57 +232,8 @@ class DiM(nn.Module):
 
     def _make_block(self, i: int, cfg: DiMConfig, paths, paths2,
                     drop_path_rate: float = 0.0):
-        """create_block dispatch (reference :2001-2160)."""
-        if cfg.is_moe and i % 2 != 0:
-            # the reference's MoEBlock receives no drop_path (:2150-2157)
-            return MoEBlock(
-                dim=cfg.hidden_size, rms_norm=cfg.rms_norm,
-                residual_in_fp32=cfg.residual_in_fp32,
-                num_moe_experts=cfg.num_moe_experts,
-                add_bias_linear=cfg.add_bias_linear,
-                gated_linear_unit=cfg.gated_linear_unit,
-                routing_mode=cfg.routing_mode,
-                ep_axis=cfg.moe_ep_axis, ep_mesh=cfg.moe_ep_mesh,
-                capacity_factor=cfg.moe_capacity_factor, dtype=cfg.dtype,
-                name=f"blocks_{i}")
-
-        mk, mk2 = self._mixer_kwargs(i, cfg, paths, paths2)
-        alternate = cfg.scan_type == "none"
-        reverse = alternate and (i % 2 > 0)
-        transpose = alternate and (i % 4 >= 2)
-        common = dict(
-            dim=cfg.hidden_size, mixer_kwargs=mk, rms_norm=cfg.rms_norm,
-            residual_in_fp32=cfg.residual_in_fp32,
-            drop_path_rate=drop_path_rate,
-            dtype=cfg.dtype, name=f"blocks_{i}")
-
-        if cfg.block_type == "raw":
-            return MixerBlockCore(
-                no_ffn=True, reverse=reverse, transpose=transpose,
-                scanning_continuity=cfg.scanning_continuity, **common)
-        if cfg.block_type == "wave":
-            return WaveDiMBlock(
-                reverse=reverse, transpose=transpose,
-                scanning_continuity=cfg.scanning_continuity,
-                window_scan=False, **common)
-        if cfg.block_type == "window":
-            return DiMBlockWindow(
-                reverse=False, transpose=reverse, shift_window=False,
-                use_gated_mlp=cfg.use_gated_mlp, **common)
-        if cfg.block_type in ("combined", "combined_fourier",
-                              "combined_einfft"):
-            variant = {"combined": "wave", "combined_fourier": "dct",
-                       "combined_einfft": "einfft"}[cfg.block_type]
-            return DiMBlockCombined(
-                reverse=reverse, transpose=transpose,
-                scanning_continuity=cfg.scanning_continuity,
-                use_gated_mlp=cfg.use_gated_mlp, freq_variant=variant,
-                mixer_kwargs_2=mk2, **common)
-        # default: "linear"
-        return MixerBlockCore(
-            no_ffn=False, reverse=reverse, transpose=transpose,
-            scanning_continuity=cfg.scanning_continuity,
-            use_gated_mlp=cfg.use_gated_mlp, **common)
+        return make_dim_block(i, cfg, paths, paths2, drop_path_rate,
+                              name=f"blocks_{i}")
 
     @nn.compact
     def __call__(self, x, t, y=None, train: bool = False,
@@ -387,4 +396,7 @@ DiM_models = {
     "DiM-L/4-v1": lambda **kw: _zoo_cfg(20, 1024, 4, **kw),
     # small configs for tests/smoke runs (not in the reference zoo)
     "DiM-S/2": lambda **kw: _zoo_cfg(4, 256, 2, **kw),
+    # depth 8: the smallest depth exercising pipeline stages of 4 blocks
+    # (the i%4 reverse/transpose period) -- pp smoke runs
+    "DiM-S8/2": lambda **kw: _zoo_cfg(8, 256, 2, **kw),
 }

@@ -48,6 +48,12 @@ def parse_args(argv=None):
     p.add_argument("--ada-cfg", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--sample-dir", type=str, default="samples")
+    p.add_argument("--pp", type=int, default=1,
+                   help="pipeline-parallel ways: stage the block stack "
+                        "over a 'stage' mesh of N devices (GPipe "
+                        "microbatches over ppermute; TPU extension, the "
+                        "reference has no PP); requires depth/N %% 4 == 0")
+    p.add_argument("--pp-microbatches", type=int, default=4)
     p.add_argument("--measure-time", action="store_true")
     p.add_argument("--compute-nfe", action="store_true")
     p.add_argument("--compute-ppl", type=str, default=None,
@@ -118,6 +124,32 @@ def main():
     sampler = Sampler(transport)
 
     use_cfg = args.cfg_scale > 1.0 and args.num_classes > 1
+
+    apply_fn = model.apply
+    if args.pp > 1:
+        # pipeline-parallel sampling: the block stack staged over a
+        # 'stage' mesh of --pp devices, embed/final replicated
+        from jax.sharding import Mesh
+
+        from dimsum_tpu.parallel.pipeline import dim_pipeline_forward
+
+        devs = jax.devices()
+        if len(devs) < args.pp:
+            raise SystemExit(f"--pp {args.pp} needs {args.pp} devices, "
+                             f"found {len(devs)}")
+        pp_mesh = Mesh(np.asarray(devs[: args.pp]), axis_names=("stage",))
+        # orbax restores commit params to one device; replicate them over
+        # the stage mesh so the jitted pipeline can use all of it
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        params = jax.device_put(
+            params, NamedSharding(pp_mesh, PartitionSpec()))
+
+        def apply_fn(variables, x, t, y=None, **kw):
+            return dim_pipeline_forward(
+                cfg, variables["params"], x, t, y, mesh=pp_mesh,
+                num_microbatches=args.pp_microbatches)
+
     n = args.global_batch_size
     rng = jax.random.PRNGKey(args.seed)
     k_z, k_y, k_sde = jax.random.split(rng, 3)
@@ -132,12 +164,12 @@ def main():
 
         def model_fn_p(p, x, t, y=None):
             fwd = forward_with_adacfg if args.ada_cfg else forward_with_cfg
-            return fwd(model.apply, {"params": p}, x, t, y,
+            return fwd(apply_fn, {"params": p}, x, t, y,
                        cfg_scale=args.cfg_scale,
                        in_channels=cfg.in_channels)
     else:
         def model_fn_p(p, x, t, y=None):
-            return model.apply({"params": p}, x, t, y)
+            return apply_fn({"params": p}, x, t, y)
 
     if args.mode == "ODE":
         sample_fn = sampler.sample_ode(

@@ -62,3 +62,53 @@ def test_train_then_sample_cli(tmp_path):
           "--sampling-method", "euler", "--num-sampling-steps", "4",
           "--global-batch-size", "2", "--sample-dir", str(out)], REPO)
     assert any(out.iterdir())
+
+
+@pytest.mark.slow
+def test_sample_pp_cli_matches_pp1(tmp_path):
+    """sample.py --pp 2 (block stack staged over a 2-device 'stage' mesh)
+    produces the same latents as --pp 1, via the real CLI + orbax restore."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, REPO)
+    from dimsum_tpu.models.dim import DiM, DiM_models
+    from dimsum_tpu.parallel import (
+        create_optimizer, create_train_state,
+    )
+    from dimsum_tpu.utils.ckpt import save_checkpoint
+
+    cfg = DiM_models["DiM-S8/2"](
+        img_resolution=8, in_channels=4, num_classes=4, label_dropout=0.1,
+        rms_norm=True, block_type="combined", cond_mamba=True,
+        learnable_pe=True, use_attn_every_k_layers=4)
+    model = DiM(cfg)
+    x = jnp.zeros((1, 4, 8, 8))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,)),
+                        jnp.zeros((1,), jnp.int32))["params"]
+    state = create_train_state(params, create_optimizer())
+    ckpt = tmp_path / "content"
+    save_checkpoint(str(ckpt), state, 0)
+
+    outs = {}
+    for pp in (1, 2):
+        out = tmp_path / f"gen_pp{pp}"
+        env_extra = {"XLA_FLAGS": "--xla_force_host_platform_device_count=2"}
+        args = ["sample.py", "ODE", "--ckpt", str(ckpt),
+                "--model", "DiM-S8/2", "--image-size", "64",
+                "--num-classes", "4", "--block-type", "combined",
+                "--bimamba-type", "none", "--cond-mamba", "--rms-norm",
+                "--learnable-pe", "--use-attn-every-k-layers", "4",
+                "--sampling-method", "euler", "--num-sampling-steps", "4",
+                "--global-batch-size", "2", "--seed", "7",
+                "--cfg-scale", "1.0", "--pp", str(pp),
+                "--sample-dir", str(out)]
+        env = dict(os.environ)
+        env.update(JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="", **env_extra)
+        r = subprocess.run([sys.executable] + args, cwd=REPO, env=env,
+                           capture_output=True, text=True, timeout=900)
+        assert r.returncode == 0, f"pp={pp}\nSTDOUT:{r.stdout[-2000:]}\n" \
+                                  f"STDERR:{r.stderr[-2000:]}"
+        outs[pp] = np.load(out / "latents.npz")["latents"]
+
+    np.testing.assert_allclose(outs[2], outs[1], rtol=2e-4, atol=2e-5)

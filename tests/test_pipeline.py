@@ -136,3 +136,31 @@ def test_pipeline_dim_mixer_blocks():
     got_h, _, _ = jax.jit(pp)(stacked, (x, jnp.zeros_like(x), c))
     np.testing.assert_allclose(np.asarray(got_h), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_dim_full_model_pipeline_matches_sequential():
+    """dim_pipeline_forward (embed replicated, 8 combined blocks staged 2x4
+    over 'stage' with shared attention every 4) == DiM.apply exactly."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from dimsum_tpu.models.dim import DiM, DiMConfig
+    from dimsum_tpu.parallel.pipeline import dim_pipeline_forward
+
+    cfg = DiMConfig(img_resolution=16, patch_size=2, in_channels=4,
+                    hidden_size=32, depth=8, num_classes=10, rms_norm=True,
+                    block_type="combined", cond_mamba=True,
+                    learnable_pe=True, use_attn_every_k_layers=4,
+                    scan_impl="xla")
+    model = DiM(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 4, 16, 16))
+    t = jnp.linspace(0.1, 0.9, 8)
+    y = jnp.arange(8, dtype=jnp.int32) % 10
+    params = model.init(jax.random.PRNGKey(1), x, t, y)["params"]
+    want = model.apply({"params": params}, x, t, y)
+
+    mesh = Mesh(np.asarray(jax.devices()[:2]), axis_names=("stage",))
+    got = jax.jit(lambda p, *a: dim_pipeline_forward(
+        cfg, p, *a, mesh=mesh, num_microbatches=4))(params, x, t, y)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
