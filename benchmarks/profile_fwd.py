@@ -23,9 +23,13 @@ import jax
 import jax.numpy as jnp
 
 
-def categorize(name: str) -> str:
+def categorize(name: str, long_name: str = "") -> str:
     n = name.lower()
-    if "custom-call" in n or "scan_kernel" in n or "pallas" in n:
+    ln = long_name.lower()
+    if "flash" in n or "attention" in n:
+        return "attention kernel"
+    if ("custom-call" in n or "scan_kernel" in n or "pallas" in n
+            or "_scan_branch" in n or "custom-call" in ln):
         return "pallas scan"
     if "convolution" in n or "dot" in n:
         return "matmul/conv"
@@ -41,6 +45,7 @@ def categorize(name: str) -> str:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=24)
+    ap.add_argument("--image-size", type=int, default=256)
     ap.add_argument("--reps", type=int, default=6)
     ap.add_argument("--logdir", type=str, default="/tmp/dimsum_prof")
     ap.add_argument("--top", type=int, default=25)
@@ -48,14 +53,15 @@ def main():
 
     from dimsum_tpu.models.dim import DiM, DiMConfig
 
-    cfg = DiMConfig(img_resolution=32, patch_size=2, hidden_size=1024,
+    latent = args.image_size // 8
+    cfg = DiMConfig(img_resolution=latent, patch_size=2, hidden_size=1024,
                     depth=16, num_classes=1000, rms_norm=True,
                     block_type="combined", cond_mamba=True,
                     learnable_pe=True, use_attn_every_k_layers=4,
                     dtype=jnp.bfloat16)
     model = DiM(cfg)
     B = args.batch
-    x = jax.random.normal(jax.random.PRNGKey(0), (B, 4, 32, 32))
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, 4, latent, latent))
     t = jnp.full((B,), 0.5)
     y = jnp.zeros((B,), jnp.int32)
     shapes = jax.eval_shape(model.init, jax.random.PRNGKey(1), x, t, y)
@@ -79,12 +85,19 @@ def main():
     events = [e for e in trace["traceEvents"]
               if e.get("ph") == "X" and e.get("pid") == 3]
     by_name = defaultdict(float)
+    by_count = defaultdict(int)
     by_cat = defaultdict(float)
     for e in events:
-        name = e.get("args", {}).get("long_name", e.get("name", "?"))
+        short = e.get("name", "?")
+        if short.startswith("jit_"):
+            # module-level span enclosing the whole executable -- summing
+            # it alongside its leaf ops double-counts the forward
+            continue
+        name = e.get("args", {}).get("long_name", short)
         dur = e.get("dur", 0) / 1e3 / args.reps  # us -> ms, per forward
-        by_name[e.get("name", "?") + " | " + name[:90]] += dur
-        by_cat[categorize(e.get("name", "?"))] += dur
+        by_name[short + " | " + name[:90]] += dur
+        by_count[short + " | " + name[:90]] += 1
+        by_cat[categorize(short, name)] += dur
 
     total = sum(by_cat.values())
     print(f"\n== per-forward device time (batch {B}, {args.reps} reps): "
@@ -93,7 +106,7 @@ def main():
         print(f"  {cat:24s} {ms:8.2f} ms  {100 * ms / total:5.1f}%")
     print(f"\n== top {args.top} ops ==")
     for name, ms in sorted(by_name.items(), key=lambda kv: -kv[1])[: args.top]:
-        print(f"  {ms:8.3f} ms  {name}")
+        print(f"  {ms:8.3f} ms  x{by_count[name] // args.reps:<3d} {name}")
 
 
 if __name__ == "__main__":

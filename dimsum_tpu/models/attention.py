@@ -55,9 +55,26 @@ def _sdpa(q, k, v):
                     RuntimeWarning, stacklevel=2)
                 _FLASH_IMPORT_WARNED = True
         else:
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                BlockSizes)
+
+            # Full-sequence blocks: the kernel's defaults (128-sized
+            # q/k tiles) leave the MXU 4x underutilized at L=1024 --
+            # measured on v5e (benchmarks/attn_micro.py): flash default
+            # 4.18/2.24 ms (DiT/cross shapes) vs bq=bk=1024 1.01/0.73 ms
+            # (34/24 TF/s).  L <= ~2048 per-head tiles fit VMEM easily;
+            # cap at 1024 so longer sequences still stream.
+            L = q.shape[1]
+            b = min(L, 1024)
+            bs = BlockSizes(
+                block_q=b, block_k_major=b, block_k=b, block_b=1,
+                block_q_major_dkv=b, block_k_major_dkv=b,
+                block_q_dkv=b, block_k_dkv=b,
+                block_q_dq=b, block_k_dq=b, block_k_major_dq=b)
             bhld = lambda t: t.transpose(0, 2, 1, 3)
             out = flash_attention(bhld(q), bhld(k), bhld(v),
-                                  sm_scale=q.shape[-1] ** -0.5)
+                                  sm_scale=q.shape[-1] ** -0.5,
+                                  block_sizes=bs)
             return out.transpose(0, 2, 1, 3)
     return jax.nn.dot_product_attention(q, k, v)
 
