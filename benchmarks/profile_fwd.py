@@ -28,8 +28,14 @@ def categorize(name: str, long_name: str = "") -> str:
     ln = long_name.lower()
     if "flash" in n or "attention" in n:
         return "attention kernel"
-    if ("custom-call" in n or "scan_kernel" in n or "pallas" in n
-            or "_scan_branch" in n or "custom-call" in ln):
+    # NOTE: a fusion's long_name embeds its operand expressions (e.g.
+    # "fusion(..., custom-call(...))"), so only the DEFINING opcode -- the
+    # token right after the "= type{layout}" -- identifies a kernel call
+    import re
+    defining = re.search(r"= \S+ (\w[\w-]*)\(", ln)
+    opcode = defining.group(1) if defining else ""
+    if ("scan_kernel" in n or "pallas" in n or "_scan_branch" in n
+            or opcode == "custom-call" or n == "custom-call"):
         return "pallas scan"
     if "convolution" in n or "dot" in n:
         return "matmul/conv"
