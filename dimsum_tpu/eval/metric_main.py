@@ -209,6 +209,7 @@ def report_metric(result: Dict, run_dir: Optional[str] = None):
     line = json.dumps(result)
     print(line)
     if run_dir:
+        os.makedirs(run_dir, exist_ok=True)
         with open(os.path.join(
                 run_dir, f"metric-{result['metric']}.jsonl"), "a") as f:
             f.write(line + "\n")
