@@ -92,8 +92,11 @@ class Attention(nn.Module):
         head_dim = D // self.num_heads
         qkv = nn.Dense(3 * D, use_bias=self.qkv_bias, dtype=self.dtype,
                        name="qkv")(x)
-        qkv = qkv.reshape(B, L, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, L, H, Dh)
+        # q/k/v are contiguous D-channel blocks; minor-axis slices fuse into
+        # the consumers, unlike the (B, L, 3, H, Dh) reshape+index which
+        # materialized {1,4,3,0,2}-layout copies (r3 v5e trace)
+        q, k, v = (qkv[..., i * D:(i + 1) * D].reshape(
+            B, L, self.num_heads, head_dim) for i in range(3))
         out = _sdpa(q, k, v)
         out = out.reshape(B, L, D)
         return nn.Dense(D, use_bias=True, dtype=self.dtype, name="proj")(out)
@@ -122,8 +125,8 @@ class CrossAttentionFusion(nn.Module):
         def qkv_of(x, name):
             qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
                            name=name)(x)
-            qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
-            return qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, Dh)
+            return (qkv[..., i * C:(i + 1) * C].reshape(
+                B, N, self.num_heads, head_dim) for i in range(3))
 
         q1, k1, v1 = qkv_of(x1, "qkv1")
         q2, k2, v2 = qkv_of(x2, "qkv2")
