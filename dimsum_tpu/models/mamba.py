@@ -33,7 +33,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from dimsum_tpu.ops.causal_conv1d import causal_conv1d, causal_conv1d_halo
-from dimsum_tpu.ops.selective_scan import selective_scan, selective_scan_xla
+from dimsum_tpu.ops.selective_scan import (
+    selective_scan, selective_scan_dtlow, selective_scan_xla)
 from dimsum_tpu.ops.selective_scan_sp import selective_scan_seq_parallel
 
 
@@ -162,8 +163,11 @@ class Mamba(nn.Module):
             _dt_bias_init(self.dt_min, self.dt_max, self.dt_init_floor),
             (d_inner,),
         )
-        dt = jnp.einsum("blr,rd->bld", dt_low,
-                        dt_kernel.astype(dt_low.dtype))
+        dt_w = dt_kernel.astype(dt_low.dtype)
+        # full (B, L, d_inner) dt is only materialized on the paths that
+        # need it (h0 seeding, sequence parallelism); the default path folds
+        # the expansion into the scan kernel (selective_scan_dtlow)
+        dt = None
 
         A_log = self.param(f"A{suffix}_log",
                            _a_log_init(d_inner, d_state),
@@ -184,9 +188,12 @@ class Mamba(nn.Module):
                     "seq_axis (sequence parallelism): h0 must enter on "
                     "shard 0 only and be carried across shards")
             return selective_scan_xla(
-                x_conv, dt, A, Bm, Cm, D, z=z, delta_bias=dt_bias,
+                x_conv, jnp.einsum("blr,rd->bld", dt_low, dt_w),
+                A, Bm, Cm, D, z=z, delta_bias=dt_bias,
                 delta_softplus=True, h0=h0,
             )
+        if self.seq_axis is not None:
+            dt = jnp.einsum("blr,rd->bld", dt_low, dt_w)
         if self.seq_axis is not None and self.seq_mesh is not None:
             from jax import shard_map
             from jax.sharding import PartitionSpec as P
@@ -209,8 +216,8 @@ class Mamba(nn.Module):
                 delta_softplus=True, axis_name=self.seq_axis,
                 impl=self.scan_impl,
             )
-        return selective_scan(
-            x_conv, dt, A, Bm, Cm, D, z=z, delta_bias=dt_bias,
+        return selective_scan_dtlow(
+            x_conv, dt_low, dt_w, A, Bm, Cm, D, z=z, delta_bias=dt_bias,
             delta_softplus=True, impl=self.scan_impl,
         )
 

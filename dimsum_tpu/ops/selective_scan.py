@@ -59,6 +59,7 @@ __all__ = [
     "selective_scan_ref",
     "selective_scan_xla",
     "selective_scan_pallas",
+    "selective_scan_dtlow",
 ]
 
 
@@ -290,6 +291,7 @@ def _scan_kernel(*refs, **kw):
 def _scan_body(
     # refs (block views)
     u_ref, dt_ref, A_ref, B_ref, C_ref, D_ref, bias_ref, z_ref, h0_ref,
+    dtw_ref,
     out_ref,
     # scratch
     h_ref,
@@ -306,6 +308,7 @@ def _scan_body(
     sub: int = 16,
     grouped: bool = False,
     rows_bf16: bool = False,
+    dt_rank: int = 0,
 ):
     l_idx = pl.program_id(2)
 
@@ -318,7 +321,15 @@ def _scan_body(
 
     f32 = jnp.float32
     u = u_ref[0].astype(f32)        # (chunk, d_block)
-    dt = dt_ref[0].astype(f32)      # (chunk, d_block)
+    if dt_rank:
+        # fused dt_proj expansion: delta never exists at (B, L, dim) in HBM.
+        # dt_low (chunk, r) @ dt_w (r, d_block) on the MXU, fp32 accumulate
+        # (reference applies the same weight-only matmul before its kernel,
+        # mamba/mamba_ssm/ops/selective_scan_interface.py:191-194).
+        dt = jax.lax.dot(dt_ref[0], dtw_ref[:],
+                         preferred_element_type=f32)  # (chunk, d_block)
+    else:
+        dt = dt_ref[0].astype(f32)      # (chunk, d_block)
     if has_bias:
         dt = dt + bias_ref[0][None, :].astype(f32)
     if delta_softplus:
@@ -362,12 +373,12 @@ def _scan_body(
 
 def _scan_kernel_with_state(
     u_ref, dt_ref, A_ref, B_ref, C_ref, D_ref, bias_ref, z_ref, h0_ref,
-    out_ref, last_ref, h_scratch, **kw,
+    dtw_ref, out_ref, last_ref, h_scratch, **kw,
 ):
     """Variant that also emits the final carried state (for sequence
     parallelism and inference caches)."""
     h = _scan_body(u_ref, dt_ref, A_ref, B_ref, C_ref, D_ref, bias_ref,
-                   z_ref, h0_ref, out_ref, h_scratch, **kw)
+                   z_ref, h0_ref, dtw_ref, out_ref, h_scratch, **kw)
     last_ref[0] = h[h.shape[0] - kw["n_state"]:, :].astype(last_ref.dtype)
 
 
@@ -405,10 +416,15 @@ def _pick_blocks(seqlen: int, dim: int, n_state: int = 16):
 
 def _selective_scan_pallas_fwd_impl(
     u, delta, A, B, C, D, z, delta_bias, delta_softplus,
-    h0=None, want_last_state=False,
+    h0=None, want_last_state=False, dt_w=None,
 ):
+    """When `dt_w` is given, `delta` is the LOW-RANK (batch, L, r) dt_proj
+    input and the (r, dim) expansion happens inside the kernel (one tiny MXU
+    dot per grid cell), so the full (batch, L, dim) delta never round-trips
+    HBM."""
     batch, seqlen, dim = u.shape
     n_state = A.shape[1]
+    dt_rank = 0 if dt_w is None else int(dt_w.shape[0])
     chunk, d_block = _pick_blocks(seqlen, dim, n_state)
     grouped = B.ndim == 4
     n_groups = B.shape[2] if grouped else 1
@@ -456,6 +472,7 @@ def _selective_scan_pallas_fwd_impl(
         sub=int(os.environ.get("DIMSUM_SCAN_SUB", "8")),
         grouped=grouped,
         rows_bf16=os.environ.get("DIMSUM_SCAN_ROWS_BF16", "0") == "1",
+        dt_rank=dt_rank,
     )
 
     bld_spec = pl.BlockSpec(
@@ -486,9 +503,24 @@ def _selective_scan_pallas_fwd_impl(
         memory_space=pltpu.VMEM,
     )
 
+    if dt_rank:
+        dt_spec = pl.BlockSpec(
+            (1, chunk, dt_rank), lambda b, d, l: (b, l, 0),
+            memory_space=pltpu.VMEM,
+        )
+        dtw_spec = pl.BlockSpec(
+            (dt_rank, d_block), lambda b, d, l: (0, d),
+            memory_space=pltpu.VMEM,
+        )
+        dtw_in = dt_w
+    else:
+        dt_spec = bld_spec
+        dtw_spec = vec_spec  # placeholder, never read
+        dtw_in = jnp.zeros((1, dim), u.dtype)
+
     in_specs = [
         bld_spec,   # u
-        bld_spec,   # delta
+        dt_spec,    # delta (full (B,L,dim), or (B,L,r) when dt_w is given)
         dn_spec,    # A
         bln_spec,   # B
         bln_spec,   # C
@@ -496,11 +528,12 @@ def _selective_scan_pallas_fwd_impl(
         vec_spec,   # delta_bias
         bld_spec,   # z
         state_spec,  # h0
+        dtw_spec,   # dt_w
     ]
     if grouped:
         B = jnp.swapaxes(B, 1, 2)  # (batch, G, L, N)
         C = jnp.swapaxes(C, 1, 2)
-    args = (u, delta, A, B, C, D_in, bias_in, z_in, h0_in)
+    args = (u, delta, A, B, C, D_in, bias_in, z_in, h0_in, dtw_in)
     compiler_params = pltpu.CompilerParams(
         dimension_semantics=("parallel", "parallel", "arbitrary"),
     )
@@ -569,6 +602,78 @@ def _pallas_bwd(delta_softplus, res, g):
 
 
 _selective_scan_pallas.defvjp(_pallas_fwd, _pallas_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def _selective_scan_pallas_dtlow(u, dt_low, dt_w, A, B, C, D, z, delta_bias,
+                                 delta_softplus):
+    """Fused dt_proj variant: delta = dt_low @ dt_w expanded IN-KERNEL.
+
+    The inference path never materializes the (batch, L, dim) delta (saves
+    one full HBM round-trip + a standalone small dot per mixer).  Training
+    expands delta once in the fwd rule and reuses the fused reverse-scan
+    backward, then projects ddelta back to (ddt_low, ddt_w)."""
+    return _selective_scan_pallas_fwd_impl(
+        u, dt_low, A, B, C, D, z, delta_bias, delta_softplus, dt_w=dt_w
+    )
+
+
+def _dtlow_fwd(u, dt_low, dt_w, A, B, C, D, z, delta_bias, delta_softplus):
+    delta = jnp.einsum("blr,rd->bld", dt_low, dt_w)
+    y, res = _pallas_fwd(u, delta, A, B, C, D, z, delta_bias, delta_softplus)
+    return y, (res, dt_low, dt_w)
+
+
+def _dtlow_bwd(delta_softplus, res, g):
+    inner, dt_low, dt_w = res
+    du, ddelta, dA, dB, dC, dD, dz, dbias = _pallas_bwd(
+        delta_softplus, inner, g)
+    ddt_low = jnp.einsum("bld,rd->blr", ddelta, dt_w).astype(dt_low.dtype)
+    ddt_w = jnp.einsum("blr,bld->rd", dt_low, ddelta).astype(dt_w.dtype)
+    return du, ddt_low, ddt_w, dA, dB, dC, dD, dz, dbias
+
+
+_selective_scan_pallas_dtlow.defvjp(_dtlow_fwd, _dtlow_bwd)
+
+
+def selective_scan_dtlow(
+    u, dt_low, dt_w, A, B, C, D=None, z=None, delta_bias=None,
+    delta_softplus=False, impl: Optional[str] = None,
+):
+    """selective_scan with the dt_proj expansion folded into the kernel.
+
+    `dt_low`: (batch, L, r) dt_proj INPUT; `dt_w`: (r, dim) dt_proj weight
+    (already cast to the compute dtype).  Semantics match
+    `selective_scan(u, dt_low @ dt_w, ...)` exactly; on the Pallas path the
+    expansion happens per grid cell on the MXU.  Reference applies the same
+    weight-only matmul ahead of its CUDA kernel
+    (`/root/reference/mamba/mamba_ssm/ops/selective_scan_interface.py:191`).
+    """
+    if impl is None:
+        impl = "pallas" if _pallas_supported(u, A) else "xla"
+    if impl != "pallas" or B.ndim == 4:
+        delta = jnp.einsum("blr,rd->bld", dt_low, dt_w)
+        return selective_scan(
+            u, delta, A, B, C, D=D, z=z, delta_bias=delta_bias,
+            delta_softplus=delta_softplus, impl=impl,
+        )
+    dim = u.shape[-1]
+    pad = (-dim) % 128
+    if pad:
+        pd = ((0, 0), (0, 0), (0, pad))
+        u = jnp.pad(u, pd)
+        dt_w = jnp.pad(dt_w, ((0, 0), (0, pad)))
+        A = jnp.pad(A, ((0, pad), (0, 0)), constant_values=-1.0)
+        if D is not None:
+            D = jnp.pad(D, (0, pad))
+        if z is not None:
+            z = jnp.pad(z, pd)
+        if delta_bias is not None:
+            delta_bias = jnp.pad(delta_bias, (0, pad))
+    y = _selective_scan_pallas_dtlow(
+        u, dt_low, dt_w, A, B, C, D, z, delta_bias, delta_softplus
+    )
+    return y[..., :dim] if pad else y
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8,))

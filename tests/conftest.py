@@ -49,6 +49,7 @@ SLOW_TESTS = (
     "test_bwd_matches_autodiff",
     "test_fwd_train_matches_xla_and_boundaries",
     "test_custom_vjp_end_to_end_interpret",
+    "test_dtlow_fused_matches_composition_interpret",
     "test_bwd_without_optionals",
     "test_xla_grads_match_ref_grads",
     "test_bf16_tolerance",

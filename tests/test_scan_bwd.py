@@ -114,3 +114,59 @@ def test_custom_vjp_end_to_end_interpret():
     for a, b in zip(g_p, g_x):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-2, atol=1e-2)
+
+
+def test_dtlow_fused_matches_composition_interpret():
+    """selective_scan_dtlow (in-kernel dt_proj expansion) == einsum + scan,
+    forward and grads, interpret mode."""
+    from dimsum_tpu.ops.selective_scan import _selective_scan_pallas_dtlow
+
+    rng = np.random.default_rng(2)
+    batch, L, dim, n, r = 2, 64, 128, 8, 24
+    u, _, A, B, C, D, z, bias = make_inputs(rng, batch=batch, L=L, dim=dim,
+                                            n=n)
+    dt_low = (0.3 * rng.standard_normal((batch, L, r))).astype(np.float32)
+    dt_w = (0.3 * rng.standard_normal((r, dim))).astype(np.float32)
+
+    def ref(u_, dl_, w_):
+        return selective_scan_xla(
+            u_, jnp.einsum("blr,rd->bld", dl_, w_), A, B, C, D, z, bias,
+            True)
+
+    def fused(u_, dl_, w_):
+        return _selective_scan_pallas_dtlow(
+            u_, dl_, w_, A, B, C, D, z, bias, True)
+
+    want = ref(u, dt_low, dt_w)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused(u, dt_low, dt_w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=1e-3)
+
+    g = jnp.asarray(rng.standard_normal(u.shape).astype(np.float32))
+    _, vjp_ref = jax.vjp(ref, u, dt_low, dt_w)
+    with pltpu.force_tpu_interpret_mode():
+        _, vjp_fused = jax.vjp(fused, u, dt_low, dt_w)
+        got_g = vjp_fused(g)
+    for a, b in zip(got_g, vjp_ref(g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=2e-3)
+
+
+def test_dtlow_nonpallas_fallback_matches():
+    """The impl='xla' fallback of selective_scan_dtlow is exactly the
+    einsum composition (fast lane; no Pallas involved)."""
+    from dimsum_tpu.ops.selective_scan import selective_scan_dtlow
+
+    rng = np.random.default_rng(3)
+    batch, L, dim, n, r = 2, 32, 64, 8, 8
+    u, _, A, B, C, D, z, bias = make_inputs(rng, batch=batch, L=L, dim=dim,
+                                            n=n)
+    dt_low = (0.3 * rng.standard_normal((batch, L, r))).astype(np.float32)
+    dt_w = (0.3 * rng.standard_normal((r, dim))).astype(np.float32)
+    got = selective_scan_dtlow(u, dt_low, dt_w, A, B, C, D=D, z=z,
+                               delta_bias=bias, delta_softplus=True,
+                               impl="xla")
+    want = selective_scan_xla(u, jnp.einsum("blr,rd->bld", dt_low, dt_w),
+                              A, B, C, D, z, bias, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0)
