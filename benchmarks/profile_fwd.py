@@ -114,6 +114,19 @@ def main():
     for name, ms in sorted(by_name.items(), key=lambda kv: -kv[1])[: args.top]:
         print(f"  {ms:8.3f} ms  x{by_count[name] // args.reps:<3d} {name}")
 
+    # per-category breakdown: where do the addressable (non-matmul,
+    # non-scan) milliseconds live?
+    for want in ("fusion (elementwise)", "layout", "reduce", "other"):
+        items = [(n, ms) for n, ms in by_name.items()
+                 if categorize(n.split(" | ")[0], n.split(" | ")[1]) == want]
+        if not items:
+            continue
+        print(f"\n== {want}: top 20 of {len(items)} "
+              f"(total {sum(ms for _, ms in items):.2f} ms) ==")
+        for name, ms in sorted(items, key=lambda kv: -kv[1])[:20]:
+            print(f"  {ms:8.3f} ms  x{by_count[name] // args.reps:<3d} "
+                  f"{name[:160]}")
+
 
 if __name__ == "__main__":
     main()

@@ -111,6 +111,16 @@ def _square_side(L: int) -> int:
     return int(round(L ** 0.5))
 
 
+def _mixer_native_reverse_ok(mixer_kwargs) -> bool:
+    """True when the reversed token order can run INSIDE the Mamba mixer
+    (anticausal conv + reverse-time scan kernel, zero flips) instead of as
+    explicit jnp.flip relayouts around it.  Zigzag scan types gather by a
+    per-layer permutation before the conv, which does not commute with an
+    in-mixer reverse."""
+    st = mixer_kwargs.get("scan_type", "none") or "none"
+    return st.split("_")[0] not in ("zigma", "sweep", "jpeg")
+
+
 def _transpose_tokens(x, h, w):
     return rearrange(x, "n (h w) c -> n (w h) c", h=h, w=w)
 
@@ -164,11 +174,17 @@ class MixerBlockCore(nn.Module, _DropPathMixin):
             hidden_states = _transpose_tokens(hidden_states, h, w)
         if self.scanning_continuity:
             hidden_states = _scanning_continuity(hidden_states, h, w)
-        if self.reverse:
+        # reverse runs inside the mixer when possible (anticausal conv +
+        # reverse-time scan kernel): the flip commutes with modulate/gate
+        # (per-batch params) so only the order-sensitive conv+scan see it
+        native_rev = self.reverse and _mixer_native_reverse_ok(
+            self.mixer_kwargs)
+        if self.reverse and not native_rev:
             hidden_states = jnp.flip(hidden_states, axis=1)
 
         mixer = Mamba(d_model=self.dim, dtype=self.dtype,
-                      name="mixer", **self.mixer_kwargs)
+                      name="mixer", reverse_tokens=native_rev,
+                      **self.mixer_kwargs)
         n_chunks = 3 if self.no_ffn else 6
         mods = AdaLN(self.dim, n_chunks, dtype=self.dtype,
                      name="adaLN_modulation")(c)
@@ -185,7 +201,7 @@ class MixerBlockCore(nn.Module, _DropPathMixin):
             hidden_states = hidden_states + gate_mlp[:, None, :] * mlp(
                 modulate(normed, shift_mlp, scale_mlp))
 
-        if self.reverse:
+        if self.reverse and not native_rev:
             hidden_states = jnp.flip(hidden_states, axis=1)
         if self.scanning_continuity:
             hidden_states = _scanning_continuity(hidden_states, h, w)
@@ -237,11 +253,13 @@ class DiMBlockWindow(nn.Module, _DropPathMixin):
             xg = hidden_states.reshape(-1, h, w, hidden_states.shape[-1])
             xg = jnp.roll(xg, shift=(-1, -1), axis=(1, 2))
             hidden_states = xg.reshape(-1, h * w, xg.shape[-1])
-        if self.reverse:
+        native_rev = self.reverse and _mixer_native_reverse_ok(
+            self.mixer_kwargs)
+        if self.reverse and not native_rev:
             hidden_states = jnp.flip(hidden_states, axis=1)
 
         mixer = Mamba(d_model=self.dim, dtype=self.dtype, name="mixer",
-                      **self.mixer_kwargs)
+                      reverse_tokens=native_rev, **self.mixer_kwargs)
         mods = AdaLN(self.dim, 6, dtype=self.dtype,
                      name="adaLN_modulation")(c)
         shift_ssm, scale_ssm, gate_ssm, shift_mlp, scale_mlp, gate_mlp = mods
@@ -254,7 +272,7 @@ class DiMBlockWindow(nn.Module, _DropPathMixin):
             4 * self.dim, act=gelu_tanh, dtype=self.dtype, name="mlp")(
             modulate(normed, shift_mlp, scale_mlp))
 
-        if self.reverse:
+        if self.reverse and not native_rev:
             hidden_states = jnp.flip(hidden_states, axis=1)
         if self.shift_window:
             xg = hidden_states.reshape(-1, h, w, hidden_states.shape[-1])
@@ -328,11 +346,13 @@ class WaveDiMBlock(nn.Module, _DropPathMixin):
                 hidden_states = _transpose_tokens(hidden_states, h, w)
         if self.scanning_continuity:
             hidden_states = _scanning_continuity(hidden_states, h, w)
-        if self.reverse:
+        native_rev = self.reverse and _mixer_native_reverse_ok(
+            self.mixer_kwargs)
+        if self.reverse and not native_rev:
             hidden_states = jnp.flip(hidden_states, axis=1)
 
         mixer = Mamba(d_model=self.dim, dtype=self.dtype, name="mixer",
-                      **self.mixer_kwargs)
+                      reverse_tokens=native_rev, **self.mixer_kwargs)
         n_chunks = 3 if self.no_ffn else 6
         mods = AdaLN(self.dim, n_chunks, dtype=self.dtype,
                      name="adaLN_modulation")(c)
@@ -348,7 +368,7 @@ class WaveDiMBlock(nn.Module, _DropPathMixin):
                 4 * self.dim, act=gelu_tanh, dtype=self.dtype, name="mlp")(
                 modulate(normed, shift_mlp, scale_mlp))
 
-        if self.reverse:
+        if self.reverse and not native_rev:
             hidden_states = jnp.flip(hidden_states, axis=1)
         if self.scanning_continuity:
             hidden_states = _scanning_continuity(hidden_states, h, w)
@@ -413,11 +433,13 @@ class DCTBlock(nn.Module, _DropPathMixin):
             hs = _transpose_tokens(hs, side, side)
         if self.scanning_continuity:
             hs = _scanning_continuity(hs, side, side)
-        if self.reverse:
+        native_rev = self.reverse and _mixer_native_reverse_ok(
+            self.mixer_kwargs)
+        if self.reverse and not native_rev:
             hs = jnp.flip(hs, axis=1)
 
         mixer = Mamba(d_model=self.dim, dtype=self.dtype, name="mixer",
-                      **self.mixer_kwargs)
+                      reverse_tokens=native_rev, **self.mixer_kwargs)
         n_chunks = 3 if self.no_ffn else 6
         mods = AdaLN(self.dim, n_chunks, dtype=self.dtype,
                      name="adaLN_modulation")(c)
@@ -433,7 +455,7 @@ class DCTBlock(nn.Module, _DropPathMixin):
                 4 * self.dim, act=gelu_tanh, dtype=self.dtype, name="mlp")(
                 modulate(normed, shift_mlp, scale_mlp))
 
-        if self.reverse:
+        if self.reverse and not native_rev:
             hs = jnp.flip(hs, axis=1)
         if self.scanning_continuity:
             hs = _scanning_continuity(hs, side, side)

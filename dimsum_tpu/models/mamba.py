@@ -98,6 +98,12 @@ class Mamba(nn.Module):
     zigzag_paths: Optional[np.ndarray] = None          # (depth*, L) fwd perms
     zigzag_paths_reverse: Optional[np.ndarray] = None  # inverse perms
     scan_impl: Optional[str] = None
+    reverse_tokens: bool = False  # run the mixer in reversed token order:
+    #                               equals flip_L(mixer(flip_L(x))) but with
+    #                               an anticausal conv + native reverse-time
+    #                               scan kernel -- no materialized flips
+    #                               (the reference flips literally,
+    #                               models_dim.py:1496-1507)
     seq_axis: Optional[str] = None  # shard_map axis name: sequence-parallel
     seq_mesh: Any = None  # when set, the mixer opens its OWN shard_map
     #                       islands (halo conv + two-pass scan) over
@@ -116,8 +122,19 @@ class Mamba(nn.Module):
         return (math.ceil(self.d_model / 16)
                 if self.dt_rank is None else self.dt_rank)
 
-    def _scan_branch(self, x_in, z, cond_emb, suffix: str):
-        """conv -> x_proj -> dt_proj -> selective scan for one direction."""
+    def _scan_branch(self, x_in, z, cond_emb, suffix: str,
+                     reverse: bool = False):
+        """conv -> x_proj -> dt_proj -> selective scan for one direction.
+
+        `reverse=True` computes flip_L(branch(flip_L(x))) flip-free: the
+        conv runs anticausal and the scan runs reverse-time in-kernel.  The
+        h0-seeding and sequence-parallel paths don't support native reverse;
+        they fall back to explicit flips (same semantics)."""
+        if reverse and (self.seq_axis is not None
+                        or (cond_emb is not None and self.use_cond_init)):
+            y = self._scan_branch(jnp.flip(x_in, 1), jnp.flip(z, 1),
+                                  cond_emb, suffix, reverse=False)
+            return jnp.flip(y, 1)
         d_inner, d_state, r = self.d_inner, self.d_state, self.dt_rank_
         conv_w = self.param(f"conv1d{suffix}_kernel",
                             nn.initializers.lecun_normal(),
@@ -147,7 +164,8 @@ class Mamba(nn.Module):
                                         activation="silu",
                                         axis_name=self.seq_axis)
         else:
-            x_conv = causal_conv1d(x_in, conv_w, conv_b, activation="silu")
+            x_conv = causal_conv1d(x_in, conv_w, conv_b, activation="silu",
+                                   reverse=reverse)
 
         x_dbl = nn.Dense(r + 2 * d_state, use_bias=False, dtype=self.dtype,
                          name=f"x_proj{suffix}")(x_conv)
@@ -218,7 +236,7 @@ class Mamba(nn.Module):
             )
         return selective_scan_dtlow(
             x_conv, dt_low, dt_w, A, Bm, Cm, D, z=z, delta_bias=dt_bias,
-            delta_softplus=True, impl=self.scan_impl,
+            delta_softplus=True, impl=self.scan_impl, reverse=reverse,
         )
 
     @nn.compact
@@ -228,6 +246,10 @@ class Mamba(nn.Module):
                       name="in_proj")(x)
 
         zig = self.scan_type.split("_")[0] in ("zigma", "sweep", "jpeg")
+        if self.reverse_tokens and zig:
+            raise NotImplementedError(
+                "reverse_tokens composes with zigzag gathers only through "
+                "explicit flips; apply the flip at the block level instead")
         if self.seq_axis is not None and (zig or self.scan_type == "v2"):
             raise NotImplementedError(
                 "seq_axis supports scan_type='none' only: zigzag gathers "
@@ -254,11 +276,17 @@ class Mamba(nn.Module):
                 _ = cond_proj(jnp.zeros((1, self.d_cond), self.dtype))
 
         if self.scan_type == "v2":
-            y_f = self._scan_branch(x_in, z, cond, "")
-            y_b = self._scan_branch(x_in[:, ::-1], z[:, ::-1], cond, "_b")
-            y = y_f + y_b[:, ::-1]
+            # bidirectional: with reverse_tokens the roles swap -- branch ""
+            # runs reverse-time, branch "_b" forward (equals the reference's
+            # flip(mixer_v2(flip(x))) composition exactly)
+            y_f = self._scan_branch(x_in, z, cond, "",
+                                    reverse=self.reverse_tokens)
+            y_b = self._scan_branch(x_in, z, cond, "_b",
+                                    reverse=not self.reverse_tokens)
+            y = y_f + y_b
         else:
-            y = self._scan_branch(x_in, z, cond, "")
+            y = self._scan_branch(x_in, z, cond, "",
+                                  reverse=self.reverse_tokens)
 
         out = nn.Dense(self.d_model, use_bias=self.bias, dtype=self.dtype,
                        name="out_proj")(y)

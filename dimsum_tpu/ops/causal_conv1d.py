@@ -24,11 +24,17 @@ from jax import lax
 __all__ = ["causal_conv1d", "causal_conv1d_halo", "causal_conv1d_update"]
 
 
-def causal_conv1d(x, weight, bias=None, activation: str | None = "silu"):
+def causal_conv1d(x, weight, bias=None, activation: str | None = "silu",
+                  reverse: bool = False):
     """x: (B, L, D); weight: (D, W); bias: (D,).  Returns (B, L, D).
 
     y[b, t, d] = sum_k weight[d, k] * x[b, t - (W-1) + k, d]   (zero padded)
-    """
+
+    With `reverse=True` the conv is ANTI-causal in the original token order:
+    y[b, t, d] = sum_k weight[d, k] * x[b, t + (W-1) - k, d], which equals
+    flip(causal_conv1d(flip(x))) with identical products accumulated in the
+    same k order (bitwise equal) -- the flip-free path for reversed-scan
+    blocks (reference applies literal flips, models_dim.py:1496-1507)."""
     if activation not in (None, "silu", "swish"):
         raise NotImplementedError(f"activation {activation}")
     B, L, D = x.shape
@@ -36,10 +42,14 @@ def causal_conv1d(x, weight, bias=None, activation: str | None = "silu"):
     dtype_in = x.dtype
     xf = x.astype(jnp.float32)
     wf = weight.astype(jnp.float32)
-    xp = jnp.pad(xf, ((0, 0), (W - 1, 0), (0, 0)))
+    if reverse:
+        xp = jnp.pad(xf, ((0, 0), (0, W - 1), (0, 0)))
+    else:
+        xp = jnp.pad(xf, ((0, 0), (W - 1, 0), (0, 0)))
     y = jnp.zeros_like(xf)
     for k in range(W):
-        y = y + xp[:, k : k + L, :] * wf[None, None, :, k]
+        o = (W - 1 - k) if reverse else k
+        y = y + xp[:, o : o + L, :] * wf[None, None, :, k]
     if bias is not None:
         y = y + bias.astype(jnp.float32)[None, None, :]
     if activation in ("silu", "swish"):

@@ -232,7 +232,7 @@ def scan_rows(a, x, h0, n_state: int, chunk: int, d_block: int,
 
 
 def scan_rows_rev(a, p, w, n_state: int, chunk: int, d_block: int,
-                  sub: int = 8):
+                  sub: int = 8, shift_g: bool = True):
     """Suffix (reverse-time) scan:  e_t = p_t + a_{t+1} e_{t+1}, with the
     cross-chunk carry w entering as  e_last = p_last + w  (w is
     a_first * e_first of the temporally NEXT chunk, computed there).
@@ -242,7 +242,13 @@ def scan_rows_rev(a, p, w, n_state: int, chunk: int, d_block: int,
     combines run downward; sub-chunks are processed last-to-first with the
     first-row e of each later sub-chunk as the fold-in carry.
 
-    Returns (e_full (rows, d_block), w_out = a_first * e_first).
+    With `shift_g=False` the coefficients are NOT shifted (g_t = a_t) and the
+    carry enters as e_last = p_last + a_last * w: this computes the
+    reverse-direction PRIMAL recurrence  h_t = a_t * h_{t+1} + p_t  (the
+    flip-free forward of a reversed-scan block), and w_out is e_first (the
+    carry for the temporally-previous chunk).
+
+    Returns (e_full (rows, d_block), w_out).
     """
     f32 = jnp.float32
     sub = min(sub, chunk)
@@ -251,8 +257,11 @@ def scan_rows_rev(a, p, w, n_state: int, chunk: int, d_block: int,
     nsub = chunk // sub
     srows = sub * n_state
     rows = chunk * n_state
-    g = jnp.concatenate([a[n_state:], jnp.ones((n_state, d_block), f32)],
-                        axis=0)
+    if shift_g:
+        g = jnp.concatenate([a[n_state:], jnp.ones((n_state, d_block), f32)],
+                            axis=0)
+    else:
+        g = a
     carry = w
     outs = [None] * nsub
     for i in range(nsub - 1, -1, -1):  # static unroll, last sub-chunk first
@@ -279,7 +288,10 @@ def scan_rows_rev(a, p, w, n_state: int, chunk: int, d_block: int,
         outs[i] = pp
         carry = pp[:n_state]
     e = outs[0] if nsub == 1 else jnp.concatenate(outs, axis=0)
-    w_out = a[:n_state] * e[:n_state]
+    if shift_g:
+        w_out = a[:n_state] * e[:n_state]
+    else:
+        w_out = e[:n_state].astype(f32)  # h at this chunk's first timestep
     return e, w_out
 
 
@@ -309,6 +321,7 @@ def _scan_body(
     grouped: bool = False,
     rows_bf16: bool = False,
     dt_rank: int = 0,
+    reverse: bool = False,
 ):
     l_idx = pl.program_id(2)
 
@@ -351,14 +364,24 @@ def _scan_body(
         (dt[:, None, :] * A.T[None, :, :]).reshape(rows, d_block)
     )
     x = ((dt * u)[:, None, :] * Bm[:, :, None]).reshape(rows, d_block)
-    if rows_bf16:
+    if rows_bf16 and not reverse:
         # opt-in experiment (DIMSUM_SCAN_ROWS_BF16): bf16 row arrays
         # through the doubling combines, fp32 carry fold at sub-chunk seams
+        # (not wired for reverse mode, whose carry fold is in-row)
         a = a.astype(jnp.bfloat16)
         x = x.astype(jnp.bfloat16)
 
-    # Two-level inclusive scan seeded with the carried state.
-    h, h_last = scan_rows(a, x, h_ref[:], n_state, chunk, d_block, sub=sub)
+    # Two-level inclusive scan seeded with the carried state.  Reverse mode
+    # runs the reversed-time recurrence h_t = a_t h_{t+1} + x_t natively
+    # (the block specs feed chunks in reverse temporal order), replacing the
+    # reference's literal sequence flips (models_dim.py:1496-1507) with zero
+    # relayout cost.
+    if reverse:
+        h, h_last = scan_rows_rev(a, x, h_ref[:], n_state, chunk, d_block,
+                                  sub=sub, shift_g=False)
+    else:
+        h, h_last = scan_rows(a, x, h_ref[:], n_state, chunk, d_block,
+                              sub=sub)
     h_ref[:] = h_last
 
     y = (h.reshape(chunk, n_state, d_block) * Cm[:, :, None]).sum(axis=1)
@@ -416,12 +439,15 @@ def _pick_blocks(seqlen: int, dim: int, n_state: int = 16):
 
 def _selective_scan_pallas_fwd_impl(
     u, delta, A, B, C, D, z, delta_bias, delta_softplus,
-    h0=None, want_last_state=False, dt_w=None,
+    h0=None, want_last_state=False, dt_w=None, reverse=False,
 ):
     """When `dt_w` is given, `delta` is the LOW-RANK (batch, L, r) dt_proj
     input and the (r, dim) expansion happens inside the kernel (one tiny MXU
     dot per grid cell), so the full (batch, L, dim) delta never round-trips
-    HBM."""
+    HBM.  `reverse=True` runs the reversed-time recurrence natively (chunks
+    visited last-to-first via the block index maps, suffix scan in-kernel)."""
+    if reverse and (want_last_state or h0 is not None):
+        raise NotImplementedError("reverse scan with h0/last_state")
     batch, seqlen, dim = u.shape
     n_state = A.shape[1]
     dt_rank = 0 if dt_w is None else int(dt_w.shape[0])
@@ -473,10 +499,16 @@ def _selective_scan_pallas_fwd_impl(
         grouped=grouped,
         rows_bf16=os.environ.get("DIMSUM_SCAN_ROWS_BF16", "0") == "1",
         dt_rank=dt_rank,
+        reverse=reverse,
     )
 
+    # reverse mode visits L-chunks last-to-first: grid step l maps to the
+    # temporally (nL-1-l)-th block, so the carried state flows backward
+    n_l = seqlen // chunk
+    lmap = (lambda l: n_l - 1 - l) if reverse else (lambda l: l)
+
     bld_spec = pl.BlockSpec(
-        (1, chunk, d_block), lambda b, d, l: (b, l, d),
+        (1, chunk, d_block), lambda b, d, l: (b, lmap(l), d),
         memory_space=pltpu.VMEM,
     )
     if grouped:
@@ -484,12 +516,12 @@ def _selective_scan_pallas_fwd_impl(
         # dims satisfy Mosaic's (8, =dim) tiling constraint
         dpg = (dim // n_groups) // d_block  # d-blocks per group
         bln_spec = pl.BlockSpec(
-            (1, 1, chunk, n_state), lambda b, d, l: (b, d // dpg, l, 0),
+            (1, 1, chunk, n_state), lambda b, d, l: (b, d // dpg, lmap(l), 0),
             memory_space=pltpu.VMEM,
         )
     else:
         bln_spec = pl.BlockSpec(
-            (1, chunk, n_state), lambda b, d, l: (b, l, 0),
+            (1, chunk, n_state), lambda b, d, l: (b, lmap(l), 0),
             memory_space=pltpu.VMEM,
         )
     dn_spec = pl.BlockSpec(
@@ -505,7 +537,7 @@ def _selective_scan_pallas_fwd_impl(
 
     if dt_rank:
         dt_spec = pl.BlockSpec(
-            (1, chunk, dt_rank), lambda b, d, l: (b, l, 0),
+            (1, chunk, dt_rank), lambda b, d, l: (b, lmap(l), 0),
             memory_space=pltpu.VMEM,
         )
         dtw_spec = pl.BlockSpec(
@@ -604,32 +636,53 @@ def _pallas_bwd(delta_softplus, res, g):
 _selective_scan_pallas.defvjp(_pallas_fwd, _pallas_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def _flipL(v):
+    return None if v is None else jnp.flip(v, axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
 def _selective_scan_pallas_dtlow(u, dt_low, dt_w, A, B, C, D, z, delta_bias,
-                                 delta_softplus):
+                                 delta_softplus, reverse=False):
     """Fused dt_proj variant: delta = dt_low @ dt_w expanded IN-KERNEL.
 
     The inference path never materializes the (batch, L, dim) delta (saves
     one full HBM round-trip + a standalone small dot per mixer).  Training
     expands delta once in the fwd rule and reuses the fused reverse-scan
-    backward, then projects ddelta back to (ddt_low, ddt_w)."""
+    backward, then projects ddelta back to (ddt_low, ddt_w).
+
+    `reverse=True` runs the reversed-time recurrence natively in the kernel
+    (no sequence flips) on the inference path; the training fwd/bwd rules
+    express reverse through explicit flips around the existing fused
+    machinery (gradients there are already HBM-bound, the flips are noise)."""
     return _selective_scan_pallas_fwd_impl(
-        u, dt_low, A, B, C, D, z, delta_bias, delta_softplus, dt_w=dt_w
+        u, dt_low, A, B, C, D, z, delta_bias, delta_softplus, dt_w=dt_w,
+        reverse=reverse,
     )
 
 
-def _dtlow_fwd(u, dt_low, dt_w, A, B, C, D, z, delta_bias, delta_softplus):
+def _dtlow_fwd(u, dt_low, dt_w, A, B, C, D, z, delta_bias, delta_softplus,
+               reverse=False):
+    if reverse:
+        u, dt_low, B, C, z = (_flipL(u), _flipL(dt_low), _flipL(B), _flipL(C),
+                              _flipL(z))
     delta = jnp.einsum("blr,rd->bld", dt_low, dt_w)
     y, res = _pallas_fwd(u, delta, A, B, C, D, z, delta_bias, delta_softplus)
+    if reverse:
+        y = _flipL(y)
     return y, (res, dt_low, dt_w)
 
 
-def _dtlow_bwd(delta_softplus, res, g):
+def _dtlow_bwd(delta_softplus, reverse, res, g):
     inner, dt_low, dt_w = res
+    if reverse:
+        g = _flipL(g)
     du, ddelta, dA, dB, dC, dD, dz, dbias = _pallas_bwd(
         delta_softplus, inner, g)
     ddt_low = jnp.einsum("bld,rd->blr", ddelta, dt_w).astype(dt_low.dtype)
     ddt_w = jnp.einsum("blr,bld->rd", dt_low, ddelta).astype(dt_w.dtype)
+    if reverse:
+        du, ddt_low, dB, dC, dz = (_flipL(du), _flipL(ddt_low), _flipL(dB),
+                                   _flipL(dC), _flipL(dz))
     return du, ddt_low, ddt_w, dA, dB, dC, dD, dz, dbias
 
 
@@ -638,7 +691,7 @@ _selective_scan_pallas_dtlow.defvjp(_dtlow_fwd, _dtlow_bwd)
 
 def selective_scan_dtlow(
     u, dt_low, dt_w, A, B, C, D=None, z=None, delta_bias=None,
-    delta_softplus=False, impl: Optional[str] = None,
+    delta_softplus=False, impl: Optional[str] = None, reverse: bool = False,
 ):
     """selective_scan with the dt_proj expansion folded into the kernel.
 
@@ -648,11 +701,23 @@ def selective_scan_dtlow(
     expansion happens per grid cell on the MXU.  Reference applies the same
     weight-only matmul ahead of its CUDA kernel
     (`/root/reference/mamba/mamba_ssm/ops/selective_scan_interface.py:191`).
+
+    `reverse=True` computes flip_L(selective_scan(flip_L(inputs))) -- the
+    reversed-scan direction of bidirectional/alternating blocks (reference
+    models_dim.py:1496-1507) -- with NO materialized flips on the Pallas
+    inference path (native reverse-time kernel).
     """
     if impl is None:
         impl = "pallas" if _pallas_supported(u, A) else "xla"
     if impl != "pallas" or B.ndim == 4:
         delta = jnp.einsum("blr,rd->bld", dt_low, dt_w)
+        if reverse:
+            y = selective_scan(
+                _flipL(u), _flipL(delta), A, _flipL(B), _flipL(C), D=D,
+                z=_flipL(z), delta_bias=delta_bias,
+                delta_softplus=delta_softplus, impl=impl,
+            )
+            return _flipL(y)
         return selective_scan(
             u, delta, A, B, C, D=D, z=z, delta_bias=delta_bias,
             delta_softplus=delta_softplus, impl=impl,
@@ -671,7 +736,7 @@ def selective_scan_dtlow(
         if delta_bias is not None:
             delta_bias = jnp.pad(delta_bias, (0, pad))
     y = _selective_scan_pallas_dtlow(
-        u, dt_low, dt_w, A, B, C, D, z, delta_bias, delta_softplus
+        u, dt_low, dt_w, A, B, C, D, z, delta_bias, delta_softplus, reverse
     )
     return y[..., :dim] if pad else y
 
