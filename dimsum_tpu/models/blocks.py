@@ -26,7 +26,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 from einops import rearrange
 
-from dimsum_tpu.ops.norms import fused_add_norm, layer_norm, modulate
+from dimsum_tpu.ops.norms import (fused_add_norm, layer_norm, modulate,
+                                   norm_modulate)
 from dimsum_tpu.ops.wavelet import (
     dwt_tokens, idwt_tokens, wavelet_pack_windowed, wavelet_unpack_windowed,
 )
@@ -38,17 +39,32 @@ from dimsum_tpu.models.attention import Attention, CrossAttentionFusion
 
 
 class Norm(nn.Module):
-    """LayerNorm (weight+bias) or RMSNorm (weight only) with fp32 math."""
+    """LayerNorm (weight+bias) or RMSNorm (weight only) with fp32 math.
+
+    With `branch`/`shift`/`scale` the call lowers to the fused
+    (gate-add +) add + norm + adaLN-modulate kernel (ops/norms.py
+    `norm_modulate`) and returns (modulated, total) -- one VMEM pass on TPU
+    for what XLA otherwise splits into a multi-output reduce fusion plus
+    follow-up elementwise passes."""
 
     rms: bool = False
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x, residual=None, prenorm=True, residual_in_fp32=True):
+    def __call__(self, x, residual=None, prenorm=True, residual_in_fp32=True,
+                 branch=None, gate=None, shift=None, scale=None):
         d = x.shape[-1]
         weight = self.param("weight", nn.initializers.ones, (d,))
         bias = None if self.rms else self.param(
             "bias", nn.initializers.zeros, (d,))
+        if branch is not None or shift is not None:
+            total_dtype = (jnp.float32
+                           if residual is not None and residual_in_fp32
+                           else x.dtype)
+            return norm_modulate(
+                x, weight, bias, branch=branch, gate=gate,
+                residual=residual, shift=shift, scale=scale, eps=self.eps,
+                is_rms=self.rms, total_dtype=total_dtype)
         return fused_add_norm(
             x, weight, bias, residual=residual, eps=self.eps,
             prenorm=prenorm, residual_in_fp32=residual_in_fp32,
@@ -112,11 +128,20 @@ def _square_side(L: int) -> int:
 
 
 def _mixer_native_reverse_ok(mixer_kwargs) -> bool:
-    """True when the reversed token order can run INSIDE the Mamba mixer
+    """True when the reversed token order should run INSIDE the Mamba mixer
     (anticausal conv + reverse-time scan kernel, zero flips) instead of as
-    explicit jnp.flip relayouts around it.  Zigzag scan types gather by a
-    per-layer permutation before the conv, which does not commute with an
-    in-mixer reverse."""
+    explicit jnp.flip relayouts around it.
+
+    OPT-IN (DIMSUM_NATIVE_REVERSE=1): measured r3 on v5e, the suffix-scan
+    kernel is 12.7% slower per call than the forward kernel (0.561 vs
+    0.498 ms; 8 reversed scans/forward = +0.51 ms) while the block-level
+    flips it replaces cost only ~0.19 ms -- net -0.6% on the headline
+    bench.  The machinery stays (exact-parity tested; the v2 bidirectional
+    path uses it where the flips are d_inner-sized and the trade flips).
+    Zigzag scan types gather by a per-layer permutation before the conv,
+    which does not commute with an in-mixer reverse."""
+    if os.environ.get("DIMSUM_NATIVE_REVERSE", "0") != "1":
+        return False
     st = mixer_kwargs.get("scan_type", "none") or "none"
     return st.split("_")[0] not in ("zigma", "sweep", "jpeg")
 
@@ -189,17 +214,21 @@ class MixerBlockCore(nn.Module, _DropPathMixin):
         mods = AdaLN(self.dim, n_chunks, dtype=self.dtype,
                      name="adaLN_modulation")(c)
         shift_ssm, scale_ssm, gate_ssm = mods[:3]
-        hidden_states = hidden_states + gate_ssm[:, None, :] * mixer(
-            modulate(hidden_states, shift_ssm, scale_ssm), c)
-        if not self.no_ffn:
+        mixer_out = mixer(modulate(hidden_states, shift_ssm, scale_ssm), c)
+        if self.no_ffn:
+            hidden_states = (hidden_states
+                             + gate_ssm[:, None, :] * mixer_out)
+        else:
             shift_mlp, scale_mlp, gate_mlp = mods[3:]
-            normed = Norm(rms=self.rms_norm, eps=self.norm_eps,
-                          name="norm_2")(hidden_states, prenorm=False)
+            # fused: total = hidden + gate*mixer_out; modulate(Norm(total))
+            moded, hidden_states = Norm(
+                rms=self.rms_norm, eps=self.norm_eps, name="norm_2")(
+                hidden_states, prenorm=False, branch=mixer_out,
+                gate=gate_ssm, shift=shift_mlp, scale=scale_mlp)
             mlp = GatedMLP(4 * self.dim, act=gelu_tanh, dtype=self.dtype,
                            name="mlp") if self.use_gated_mlp else Mlp(
                 4 * self.dim, act=gelu_tanh, dtype=self.dtype, name="mlp")
-            hidden_states = hidden_states + gate_mlp[:, None, :] * mlp(
-                modulate(normed, shift_mlp, scale_mlp))
+            hidden_states = hidden_states + gate_mlp[:, None, :] * mlp(moded)
 
         if self.reverse and not native_rev:
             hidden_states = jnp.flip(hidden_states, axis=1)
@@ -263,14 +292,14 @@ class DiMBlockWindow(nn.Module, _DropPathMixin):
         mods = AdaLN(self.dim, 6, dtype=self.dtype,
                      name="adaLN_modulation")(c)
         shift_ssm, scale_ssm, gate_ssm, shift_mlp, scale_mlp, gate_mlp = mods
-        hidden_states = hidden_states + gate_ssm[:, None, :] * mixer(
-            modulate(hidden_states, shift_ssm, scale_ssm), c)
-        normed = Norm(rms=self.rms_norm, eps=self.norm_eps, name="norm_2")(
-            hidden_states, prenorm=False)
+        mixer_out = mixer(modulate(hidden_states, shift_ssm, scale_ssm), c)
+        moded, hidden_states = Norm(
+            rms=self.rms_norm, eps=self.norm_eps, name="norm_2")(
+            hidden_states, prenorm=False, branch=mixer_out, gate=gate_ssm,
+            shift=shift_mlp, scale=scale_mlp)
         mlp_cls = GatedMLP if self.use_gated_mlp else Mlp
         hidden_states = hidden_states + gate_mlp[:, None, :] * mlp_cls(
-            4 * self.dim, act=gelu_tanh, dtype=self.dtype, name="mlp")(
-            modulate(normed, shift_mlp, scale_mlp))
+            4 * self.dim, act=gelu_tanh, dtype=self.dtype, name="mlp")(moded)
 
         if self.reverse and not native_rev:
             hidden_states = jnp.flip(hidden_states, axis=1)
@@ -357,16 +386,20 @@ class WaveDiMBlock(nn.Module, _DropPathMixin):
         mods = AdaLN(self.dim, n_chunks, dtype=self.dtype,
                      name="adaLN_modulation")(c)
         shift_ssm, scale_ssm, gate_ssm = mods[:3]
-        hidden_states = hidden_states + gate_ssm[:, None, :] * mixer(
-            modulate(hidden_states, shift_ssm, scale_ssm), c)
-        if not self.no_ffn:
+        mixer_out = mixer(modulate(hidden_states, shift_ssm, scale_ssm), c)
+        if self.no_ffn:
+            hidden_states = (hidden_states
+                             + gate_ssm[:, None, :] * mixer_out)
+        else:
             shift_mlp, scale_mlp, gate_mlp = mods[3:]
-            normed = Norm(rms=self.rms_norm, eps=self.norm_eps,
-                          name="norm_2")(hidden_states, prenorm=False)
+            moded, hidden_states = Norm(
+                rms=self.rms_norm, eps=self.norm_eps, name="norm_2")(
+                hidden_states, prenorm=False, branch=mixer_out,
+                gate=gate_ssm, shift=shift_mlp, scale=scale_mlp)
             mlp_cls = GatedMLP if self.use_gated_mlp else Mlp
             hidden_states = hidden_states + gate_mlp[:, None, :] * mlp_cls(
                 4 * self.dim, act=gelu_tanh, dtype=self.dtype, name="mlp")(
-                modulate(normed, shift_mlp, scale_mlp))
+                moded)
 
         if self.reverse and not native_rev:
             hidden_states = jnp.flip(hidden_states, axis=1)
@@ -444,16 +477,19 @@ class DCTBlock(nn.Module, _DropPathMixin):
         mods = AdaLN(self.dim, n_chunks, dtype=self.dtype,
                      name="adaLN_modulation")(c)
         shift_ssm, scale_ssm, gate_ssm = mods[:3]
-        hs = hs + gate_ssm[:, None, :] * mixer(
-            modulate(hs, shift_ssm, scale_ssm), c)
-        if not self.no_ffn:
+        mixer_out = mixer(modulate(hs, shift_ssm, scale_ssm), c)
+        if self.no_ffn:
+            hs = hs + gate_ssm[:, None, :] * mixer_out
+        else:
             shift_mlp, scale_mlp, gate_mlp = mods[3:]
-            normed = Norm(rms=self.rms_norm, eps=self.norm_eps,
-                          name="norm_2")(hs, prenorm=False)
+            moded, hs = Norm(
+                rms=self.rms_norm, eps=self.norm_eps, name="norm_2")(
+                hs, prenorm=False, branch=mixer_out, gate=gate_ssm,
+                shift=shift_mlp, scale=scale_mlp)
             mlp_cls = GatedMLP if self.use_gated_mlp else Mlp
             hs = hs + gate_mlp[:, None, :] * mlp_cls(
                 4 * self.dim, act=gelu_tanh, dtype=self.dtype, name="mlp")(
-                modulate(normed, shift_mlp, scale_mlp))
+                moded)
 
         if self.reverse and not native_rev:
             hs = jnp.flip(hs, axis=1)
@@ -631,13 +667,18 @@ class DiTBlock(nn.Module):
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = mods
         attn = Attention(self.num_heads, qkv_bias=True, dtype=self.dtype,
                          name="attn")
-        x = x + gate_msa[:, None, :] * attn(
-            modulate(layer_norm(x, eps=1e-6), shift_msa, scale_msa))
+        # two fused norm+modulate passes; the second also absorbs the
+        # gate_msa residual add (no learned affine in DiT layer norms)
+        h1, _ = norm_modulate(x, None, shift=shift_msa, scale=scale_msa,
+                              eps=1e-6, is_rms=False)
+        attn_out = attn(h1)
+        h2, x = norm_modulate(x, None, branch=attn_out, gate=gate_msa,
+                              shift=shift_mlp, scale=scale_mlp,
+                              eps=1e-6, is_rms=False)
         mlp_cls = GatedMLP if self.use_gated_mlp else Mlp
         mlp = mlp_cls(int(self.hidden_size * self.mlp_ratio), act=gelu_tanh,
                       dtype=self.dtype, name="mlp")
-        x = x + gate_mlp[:, None, :] * mlp(
-            modulate(layer_norm(x, eps=1e-6), shift_mlp, scale_mlp))
+        x = x + gate_mlp[:, None, :] * mlp(h2)
         return x
 
 
@@ -709,13 +750,15 @@ class DiMBlockCombined(nn.Module, _DropPathMixin):
             self.dim, num_heads=8, qkv_bias=True, swap_k=False,
             dtype=self.dtype, name="proj")(x1, x2)
 
-        hidden_states = hidden_states + fused
         shift_mlp, scale_mlp, gate_mlp = AdaLN(
             self.dim, 3, dtype=self.dtype, name="adaLN_modulation")(c)
-        normed = Norm(rms=self.rms_norm, eps=self.norm_eps, name="norm_2")(
-            hidden_states, prenorm=False)
+        # fused: total = hidden + fused; out = modulate(Norm(total))
+        moded, hidden_states = Norm(
+            rms=self.rms_norm, eps=self.norm_eps, name="norm_2")(
+            hidden_states, prenorm=False, branch=fused,
+            shift=shift_mlp, scale=scale_mlp)
         mlp_cls = GatedMLP if self.use_gated_mlp else Mlp
         hidden_states = hidden_states + gate_mlp[:, None, :] * mlp_cls(
             4 * self.dim, act=gelu_tanh, dtype=self.dtype, name="mlp")(
-            modulate(normed, shift_mlp, scale_mlp))
+            moded)
         return hidden_states, residual

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from dimsum_tpu.ops.norms import layer_norm, modulate
+from dimsum_tpu.ops.norms import layer_norm, modulate, norm_modulate
 
 
 # --------------------------------------------------------------------------
@@ -178,7 +178,8 @@ class FinalLayer(nn.Module):
         mod = nn.Dense(2 * D, dtype=self.dtype, name="adaLN_modulation_fc",
                        kernel_init=nn.initializers.zeros)(jax.nn.silu(c))
         shift, scale = jnp.split(mod, 2, axis=-1)
-        x = modulate(layer_norm(x, eps=1e-6), shift, scale)
+        x, _ = norm_modulate(x, None, shift=shift, scale=scale, eps=1e-6,
+                             is_rms=False)
         return nn.Dense(
             self.patch_size * self.patch_size * self.out_channels,
             dtype=self.dtype, name="linear",

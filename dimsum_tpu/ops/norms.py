@@ -11,6 +11,7 @@ just pin down the exact dtype/eps semantics.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -252,11 +253,12 @@ def _norm_mod_kernel(base_ref, branch_ref, gate_ref, res_ref, w_ref, b_ref,
                      *, eps, is_rms, has_branch, has_gate, has_res, has_w,
                      has_b, has_mod, round_total, out_dtype, total_dtype):
     f32 = jnp.float32
+    d = base_ref.shape[-1]
     total = base_ref[...].astype(f32)
     if has_branch:
         br = branch_ref[...].astype(f32)
         if has_gate:
-            br = gate_ref[...].astype(f32) * br
+            br = gate_ref[...].reshape(1, d).astype(f32) * br
         total = total + br
     if has_res:
         total = total + res_ref[...].astype(f32)
@@ -280,7 +282,8 @@ def _norm_mod_kernel(base_ref, branch_ref, gate_ref, res_ref, w_ref, b_ref,
     out = normed.astype(out_dtype)
     if has_mod:
         one = jnp.ones((), out_dtype)
-        out = out * (one + scale_ref[...]) + shift_ref[...]
+        out = (out * (one + scale_ref[...].reshape(1, d))
+               + shift_ref[...].reshape(1, d))
     out_ref[...] = out
 
 
@@ -295,11 +298,17 @@ def _norm_mod_pallas(base, branch, gate, res, w, b, shift, scale,
         t //= 2
     row_spec = pl.BlockSpec((t, d), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    # per-batch (B, D) vectors: tile i belongs to batch (i*t)//L
-    bvec_spec = pl.BlockSpec((1, d), lambda i: (i * t // L, 0),
+    # per-batch vectors ride as (B, 1, D) (a (1, D) block over (B, D) would
+    # violate Mosaic's 8-sublane block divisibility); tile i belongs to
+    # batch (i*t)//L
+    bvec_spec = pl.BlockSpec((1, 1, d), lambda i: (i * t // L, 0, 0),
                              memory_space=pltpu.VMEM)
     vec_spec = pl.BlockSpec((1, d), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
+
+    def per_batch(v):  # (1, D) placeholders must not be indexed per-batch
+        return bvec_spec if v.ndim == 3 else vec_spec
+
     kernel = functools.partial(
         _norm_mod_kernel, eps=eps, is_rms=is_rms, out_dtype=out_dtype,
         total_dtype=total_dtype,
@@ -307,8 +316,8 @@ def _norm_mod_pallas(base, branch, gate, res, w, b, shift, scale,
     return pl.pallas_call(
         kernel,
         grid=(rows // t,),
-        in_specs=[row_spec, row_spec, bvec_spec, row_spec, vec_spec,
-                  vec_spec, bvec_spec, bvec_spec],
+        in_specs=[row_spec, row_spec, per_batch(gate), row_spec, vec_spec,
+                  vec_spec, per_batch(shift), per_batch(scale)],
         out_specs=(row_spec, row_spec),
         out_shape=(jax.ShapeDtypeStruct((rows, d), out_dtype),
                    jax.ShapeDtypeStruct((rows, d), total_dtype)),
@@ -318,43 +327,20 @@ def _norm_mod_pallas(base, branch, gate, res, w, b, shift, scale,
     )(base, branch, gate, res, w, b, shift, scale)
 
 
-def _norm_mod_ref(base, branch, gate, res, w, b, shift, scale,
-                  eps, is_rms, flags, out_dtype, total_dtype):
-    """XLA composition with the EXACT op/dtype order of the unfused blocks
-    (used off-TPU, and as the vjp recompute)."""
-    f32 = jnp.float32
-    total = base.astype(f32)
-    if flags["has_branch"]:
-        br = branch.astype(f32)
-        if flags["has_gate"]:
-            br = gate.astype(f32)[:, None, :].reshape(-1, base.shape[-1])[
-                : 0] if False else br  # unreachable; gate handled by caller
-        total = total + br
-    if flags["has_res"]:
-        total = total + res.astype(f32)
-    total_out = total.astype(total_dtype)
-    tn = total_out.astype(f32)
-    if is_rms:
-        normed = tn * jax.lax.rsqrt(
-            jnp.mean(jnp.square(tn), -1, keepdims=True) + eps)
-    else:
-        mean = jnp.mean(tn, -1, keepdims=True)
-        var = jnp.mean(jnp.square(tn - mean), -1, keepdims=True)
-        normed = (tn - mean) * jax.lax.rsqrt(var + eps)
-    if flags["has_w"]:
-        normed = normed * w.astype(f32)
-    if flags["has_b"]:
-        normed = normed + b.astype(f32)
-    out = normed.astype(out_dtype)
-    if flags["has_mod"]:
-        out = out * (jnp.ones((), out_dtype) + scale) + shift
-    return out, total_out
-
-
 def _fused_norm_mod_ok(x) -> bool:
+    # OPT-IN (DIMSUM_FUSED_NORM=1).  Measured r3 on the headline bench:
+    # the kernel itself runs the whole add+norm+modulate site in 0.047 ms
+    # vs the 0.31 ms multi-output reduce fusion it replaces, yet END-TO-END
+    # is 1% SLOWER (0.9527 vs 0.9627 img/s; with the site-A add+norm kernel
+    # also on: 0.9468).  The elementwise bucket does not shrink: XLA
+    # redistributes the co-computed neighbors into new standalone fusions
+    # and loses cross-op scheduling around the custom-call boundary.  Same
+    # mechanism as the r2 pallas add+norm negative result -- locally-faster
+    # custom calls lose globally.  Do not re-enable without re-measuring
+    # bench.py.
     if os.environ.get("DIMSUM_NORM_INTERPRET", "0") == "1":
         return True
-    if os.environ.get("DIMSUM_FUSED_NORM", "1") != "1":
+    if os.environ.get("DIMSUM_FUSED_NORM", "0") != "1":
         return False
     if jax.default_backend() not in ("tpu", "axon"):
         return False
@@ -391,20 +377,21 @@ def norm_modulate(
         has_mod=has_mod,
     )
     if not _fused_norm_mod_ok(x):
-        # straight composition (identical op order to the legacy call sites)
-        f32 = jnp.float32
-        total = x.astype(f32)
+        # straight composition (identical op order to the legacy call
+        # sites); accumulate in the wider of (f32, input dtype) so fp64
+        # parity models keep their residual-stream precision
+        ct = jnp.promote_types(x.dtype, jnp.float32)
+        total = x.astype(ct)
         if branch is not None:
-            br = branch.astype(f32)
+            br = branch.astype(ct)
             if gate is not None:
-                br = gate.astype(f32)[:, None, :] * br
+                br = gate.astype(ct)[:, None, :] * br
             total = total + br
         if residual is not None:
-            total = total + residual.astype(f32)
+            total = total + residual.astype(ct)
         total = total.astype(total_dtype)
         norm_fn = rms_norm if is_rms else layer_norm
-        out = norm_fn(total.astype(f32), weight, bias, eps=eps
-                      ).astype(out_dtype)
+        out = norm_fn(total, weight, bias, eps=eps).astype(out_dtype)
         if has_mod:
             out = modulate(out, shift, scale)
         return out, total
@@ -412,14 +399,14 @@ def norm_modulate(
     zrow = jnp.zeros((1, D), x.dtype)
     base2 = x.reshape(-1, D)
     branch2 = branch.reshape(-1, D) if branch is not None else base2
-    gate2 = gate.reshape(B, D) if gate is not None else zrow
+    gate2 = gate.reshape(B, 1, D) if gate is not None else zrow
     res2 = residual.reshape(-1, D) if residual is not None else base2
     w2 = (weight if weight is not None
           else jnp.ones((D,), jnp.float32)).reshape(1, D)
     b2 = (bias if bias is not None
           else jnp.zeros((D,), jnp.float32)).reshape(1, D)
-    shift2 = shift.reshape(B, D) if has_mod else zrow
-    scale2 = scale.reshape(B, D) if has_mod else zrow
+    shift2 = shift.reshape(B, 1, D) if has_mod else zrow
+    scale2 = scale.reshape(B, 1, D) if has_mod else zrow
     out, total = _norm_mod_op(
         base2, branch2, gate2, res2, w2, b2, shift2, scale2,
         L, eps, is_rms, tuple(sorted(flags.items())),
@@ -443,6 +430,9 @@ def _norm_mod_xla_2d(base, branch, gate, res, w, b, shift, scale,
     f32 = jnp.float32
     rows, D = base.shape
     B = rows // L
+    gate = gate.reshape(-1, D)      # per-batch vectors arrive as (B, 1, D)
+    shift = shift.reshape(-1, D)
+    scale = scale.reshape(-1, D)
     total = base.astype(f32)
     if flags["has_branch"]:
         br = branch.astype(f32)

@@ -231,6 +231,56 @@ def scan_rows(a, x, h0, n_state: int, chunk: int, d_block: int,
     return h, h_prev.astype(f32)
 
 
+def scan_rows_bk(a, x, h0, n_state: int, chunk: int, d_block: int):
+    """Work-efficient (Brent-Kung) variant of `scan_rows` with sub=8.
+
+    Same two-level structure (sequential sweep over 8-timestep sub-chunks,
+    carry folded into the first timestep), but the in-sub-chunk solve uses
+    the Brent-Kung up/down-sweep instead of the Sklansky doubling scan:
+    11 row-block FMAs + 4 a-products per 8 blocks vs Sklansky's 17 + 13
+    (~45% fewer combine ops), at the cost of strided block accesses and a
+    final interleave.  Numerics: each output is an equivalent product/sum
+    tree re-association; parity with scan_rows is at fp32 reassociation
+    level (tested).
+
+    Returns (h_full (rows, d_block), h_last (n_state, d_block))."""
+    f32 = jnp.float32
+    n = n_state
+    assert chunk % 8 == 0
+    nsub = chunk // 8
+    srows = 8 * n
+    h_prev = h0
+    outs = []
+    for i in range(nsub):  # static unroll
+        aa = a[i * srows:(i + 1) * srows]
+        xx = x[i * srows:(i + 1) * srows]
+        # even/odd via a pairs reshape: strided leading-dim slices lower to
+        # (unsupported) 3-D gathers in Mosaic, plain slices do not
+        a4 = aa.reshape(4, 2, n, d_block)
+        x4 = xx.reshape(4, 2, n, d_block)
+        xe, xo = x4[:, 0], x4[:, 1]   # timesteps (0,2,4,6) / (1,3,5,7)
+        ae, ao = a4[:, 0], a4[:, 1]
+        # carry fold into timestep 0 (x0' = x0 + a0 h_prev)
+        x0 = (xe[0].astype(f32) + ae[0].astype(f32) * h_prev.astype(f32)
+              ).astype(xx.dtype)
+        # pair combines at odd indices (1,3,5,7); element 0 uses the fold
+        u0 = xo[0] + ao[0] * x0
+        urest = xo[1:] + ao[1:] * xe[1:]              # (3, n, d): 3,5,7
+        au = ao[1:] * ae[1:]                          # a-prods at 3,5,7
+        v3 = urest[0] + au[0] * u0                    # prefix(0..3)
+        p5 = urest[1] + au[1] * v3                    # prefix(0..5)
+        w7 = (urest[2] + au[2] * urest[1]) + (au[2] * au[1]) * v3
+        # downsweep: evens 2,4,6 fold the preceding odd prefix
+        podd = jnp.stack([u0, v3, p5], axis=0)
+        down = xe[1:] + ae[1:] * podd                 # prefixes at 2,4,6
+        h8 = jnp.stack([x0, u0, down[0], v3, down[1], p5, down[2], w7],
+                       axis=0)
+        outs.append(h8.reshape(srows, d_block))
+        h_prev = w7.astype(f32)
+    h = outs[0] if nsub == 1 else jnp.concatenate(outs, axis=0)
+    return h, h_prev
+
+
 def scan_rows_rev(a, p, w, n_state: int, chunk: int, d_block: int,
                   sub: int = 8, shift_g: bool = True):
     """Suffix (reverse-time) scan:  e_t = p_t + a_{t+1} e_{t+1}, with the
@@ -322,6 +372,7 @@ def _scan_body(
     rows_bf16: bool = False,
     dt_rank: int = 0,
     reverse: bool = False,
+    bk: bool = False,
 ):
     l_idx = pl.program_id(2)
 
@@ -379,6 +430,8 @@ def _scan_body(
     if reverse:
         h, h_last = scan_rows_rev(a, x, h_ref[:], n_state, chunk, d_block,
                                   sub=sub, shift_g=False)
+    elif bk and chunk % 8 == 0 and not rows_bf16:
+        h, h_last = scan_rows_bk(a, x, h_ref[:], n_state, chunk, d_block)
     else:
         h, h_last = scan_rows(a, x, h_ref[:], n_state, chunk, d_block,
                               sub=sub)
@@ -500,6 +553,8 @@ def _selective_scan_pallas_fwd_impl(
         rows_bf16=os.environ.get("DIMSUM_SCAN_ROWS_BF16", "0") == "1",
         dt_rank=dt_rank,
         reverse=reverse,
+        # Brent-Kung combine schedule (experimental, see scan_rows_bk)
+        bk=os.environ.get("DIMSUM_SCAN_BK", "0") == "1",
     )
 
     # reverse mode visits L-chunks last-to-first: grid step l maps to the

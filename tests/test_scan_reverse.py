@@ -159,6 +159,7 @@ def test_block_reverse_native_matches_flip_path(monkeypatch):
     core = blk.MixerBlockCore(
         dim=48, mixer_kwargs={"scan_impl": "xla"}, reverse=True,
         c_dim=48)
+    monkeypatch.setenv("DIMSUM_NATIVE_REVERSE", "1")  # opt-in fast path
     params = core.init(jax.random.PRNGKey(0), jnp.asarray(x), None,
                        jnp.asarray(c))
     got, _ = core.apply(params, jnp.asarray(x), None, jnp.asarray(c))
