@@ -553,8 +553,12 @@ def _selective_scan_pallas_fwd_impl(
         rows_bf16=os.environ.get("DIMSUM_SCAN_ROWS_BF16", "0") == "1",
         dt_rank=dt_rank,
         reverse=reverse,
-        # Brent-Kung combine schedule (experimental, see scan_rows_bk)
-        bk=os.environ.get("DIMSUM_SCAN_BK", "0") == "1",
+        # Brent-Kung combine schedule: DEFAULT since r3 -- measured
+        # 1.0085 vs 0.9613 img/s on the headline bench (+4.9%; the
+        # work-efficient tree does 11 FMA + 4 products per 8 timesteps vs
+        # the trimmed Sklansky doubling's 17 + 13).  DIMSUM_SCAN_BK=0
+        # restores the doubling schedule.
+        bk=os.environ.get("DIMSUM_SCAN_BK", "1") == "1",
     )
 
     # reverse mode visits L-chunks last-to-first: grid step l maps to the
