@@ -45,7 +45,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from dimsum_tpu.ops.selective_scan import scan_rows, scan_rows_rev
+from dimsum_tpu.ops.selective_scan import scan_rows_auto, scan_rows_rev_auto
 
 
 def _fwd_train_kernel(
@@ -79,7 +79,7 @@ def _fwd_train_kernel(
     rows = chunk * n_state
     a = jnp.exp2((dt[:, None, :] * A.T[None, :, :]).reshape(rows, d_block))
     x = ((dt * u)[:, None, :] * Bm[:, :, None]).reshape(rows, d_block)
-    h, h_last = scan_rows(a, x, h_ref[:], n_state, chunk, d_block)
+    h, h_last = scan_rows_auto(a, x, h_ref[:], n_state, chunk, d_block)
     h_ref[:] = h_last
 
     s = (h.reshape(chunk, n_state, d_block) * Cm[:, :, None]).sum(axis=1)
@@ -126,7 +126,7 @@ def _bwd_kernel(
                  .reshape(rows, d_block))
     x = ((dtp * u)[:, None, :] * Bm[:, :, None]).reshape(rows, d_block)
     h0 = bnd_ref[0, 0]  # (n_state, d_block) chunk-start state
-    h, _ = scan_rows(a, x, h0, n_state, chunk, d_block)
+    h, _ = scan_rows_auto(a, x, h0, n_state, chunk, d_block)
     h_prev = jnp.concatenate([h0, h[: rows - n_state]], axis=0)
 
     # p = go (x) C  in (t, n) rows
@@ -134,7 +134,7 @@ def _bwd_kernel(
 
     # reverse recurrence e_t = p_t + a_{t+1} e_{t+1} as a flip-free suffix
     # scan; w carries a_first * e_first from the (temporally) NEXT chunk.
-    e, w_out = scan_rows_rev(a, p, w_ref[:], n_state, chunk, d_block)
+    e, w_out = scan_rows_rev_auto(a, p, w_ref[:], n_state, chunk, d_block)
     w_ref[:] = w_out
 
     da = e * h_prev
