@@ -99,3 +99,24 @@ def test_fallback_matches_legacy_composition_bitwise():
         norms.rms_norm(legacy_tot, jnp.asarray(w), eps=1e-5), sh, sc)
     np.testing.assert_array_equal(np.asarray(tot), np.asarray(legacy_tot))
     np.testing.assert_array_equal(np.asarray(out), np.asarray(legacy_out))
+
+
+def test_mxu_reduction_norms_match(monkeypatch):
+    """DIMSUM_NORM_MXU=1 (ones-column matvec reductions) matches the
+    reduce-based norms; off-TPU the flag is inert, so force the math path
+    by calling the helper directly."""
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((4, 8, 256)).astype(np.float32))
+    w = jnp.asarray((1 + 0.1 * rng.standard_normal(256)).astype(np.float32))
+    b = jnp.asarray((0.1 * rng.standard_normal(256)).astype(np.float32))
+    monkeypatch.setattr(norms, "_norm_mxu_reductions", lambda: True)
+    got_r = norms.rms_norm(x, w, eps=1e-5)
+    got_l = norms.layer_norm(x, w, b, eps=1e-6)
+    monkeypatch.setattr(norms, "_norm_mxu_reductions", lambda: False)
+    np.testing.assert_allclose(np.asarray(got_r),
+                               np.asarray(norms.rms_norm(x, w, eps=1e-5)),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(got_l),
+        np.asarray(norms.layer_norm(x, w, b, eps=1e-6)),
+        rtol=1e-5, atol=1e-5)
