@@ -93,6 +93,7 @@ def main():
     by_name = defaultdict(float)
     by_count = defaultdict(int)
     by_cat = defaultdict(float)
+    name_cat = {}
     for e in events:
         short = e.get("name", "?")
         if short.startswith("jit_"):
@@ -101,9 +102,14 @@ def main():
             continue
         name = e.get("args", {}).get("long_name", short)
         dur = e.get("dur", 0) / 1e3 / args.reps  # us -> ms, per forward
-        by_name[short + " | " + name[:90]] += dur
-        by_count[short + " | " + name[:90]] += 1
-        by_cat[categorize(short, name)] += dur
+        key = short + " | " + name[:90]
+        by_name[key] += dur
+        by_count[key] += 1
+        # categorize from the FULL long_name once; the truncated key can
+        # defeat the defining-opcode regex and disagree with the summary
+        cat = categorize(short, name)
+        by_cat[cat] += dur
+        name_cat[key] = cat
 
     total = sum(by_cat.values())
     print(f"\n== per-forward device time (batch {B}, {args.reps} reps): "
@@ -118,7 +124,7 @@ def main():
     # non-scan) milliseconds live?
     for want in ("fusion (elementwise)", "layout", "reduce", "other"):
         items = [(n, ms) for n, ms in by_name.items()
-                 if categorize(n.split(" | ")[0], n.split(" | ")[1]) == want]
+                 if name_cat[n] == want]
         if not items:
             continue
         print(f"\n== {want}: top 20 of {len(items)} "

@@ -339,6 +339,9 @@ def _norm_mod_pallas(base, branch, gate, res, w, b, shift, scale,
     def per_batch(v):  # (1, D) placeholders must not be indexed per-batch
         return bvec_spec if v.ndim == 3 else vec_spec
 
+    def per_row(v):  # (1, D) placeholders must not be indexed per-tile
+        return row_spec if v.shape[0] > 1 else vec_spec
+
     kernel = functools.partial(
         _norm_mod_kernel, eps=eps, is_rms=is_rms, out_dtype=out_dtype,
         total_dtype=total_dtype,
@@ -346,8 +349,8 @@ def _norm_mod_pallas(base, branch, gate, res, w, b, shift, scale,
     return pl.pallas_call(
         kernel,
         grid=(rows // t,),
-        in_specs=[row_spec, row_spec, per_batch(gate), row_spec, vec_spec,
-                  vec_spec, per_batch(shift), per_batch(scale)],
+        in_specs=[row_spec, per_row(branch), per_batch(gate), per_row(res),
+                  vec_spec, vec_spec, per_batch(shift), per_batch(scale)],
         out_specs=(row_spec, row_spec),
         out_shape=(jax.ShapeDtypeStruct((rows, d), out_dtype),
                    jax.ShapeDtypeStruct((rows, d), total_dtype)),
@@ -368,17 +371,18 @@ def _fused_norm_mod_ok(x) -> bool:
     # mechanism as the r2 pallas add+norm negative result -- locally-faster
     # custom calls lose globally.  Do not re-enable without re-measuring
     # bench.py.
-    if os.environ.get("DIMSUM_NORM_INTERPRET", "0") == "1":
-        return True
-    if os.environ.get("DIMSUM_FUSED_NORM", "0") != "1":
+    interpret = os.environ.get("DIMSUM_NORM_INTERPRET", "0") == "1"
+    if not interpret:
+        if os.environ.get("DIMSUM_FUSED_NORM", "0") != "1":
+            return False
+        if jax.default_backend() not in ("tpu", "axon"):
+            return False
+    if x.ndim != 3 or x.shape[-1] % 128 != 0 or x.shape[-1] > 4096:
         return False
-    if jax.default_backend() not in ("tpu", "axon"):
-        return False
-    rows = 1
-    for s in x.shape[:-1]:
-        rows *= s
-    return (x.ndim == 3 and x.shape[-1] % 128 == 0
-            and x.shape[-1] <= 4096 and _pick_rows(min(rows, x.shape[1])) > 0)
+    t = _pick_rows(min(x.shape[0] * x.shape[1], x.shape[1]))
+    while t and x.shape[1] % t != 0:
+        t //= 2
+    return t > 0
 
 
 def norm_modulate(
@@ -407,17 +411,26 @@ def norm_modulate(
         has_mod=has_mod,
     )
     if not _fused_norm_mod_ok(x):
-        # straight composition (identical op order to the legacy call
-        # sites); accumulate in the wider of (f32, input dtype) so fp64
-        # parity models keep their residual-stream precision
-        ct = jnp.promote_types(x.dtype, jnp.float32)
-        total = x.astype(ct)
-        if branch is not None:
-            br = branch.astype(ct)
-            if gate is not None:
-                br = gate.astype(ct)[:, None, :] * br
-            total = total + br
-        if residual is not None:
+        # straight composition, BITWISE identical to the legacy call sites:
+        # without a residual the adds run per-op in the input dtype (the
+        # legacy blocks did `hidden + gate*branch` in bf16); with a
+        # residual the legacy fused_add_norm accumulated in the wider of
+        # (f32, input dtype), preserving fp64 parity-model precision
+        if residual is None:
+            total = x
+            if branch is not None:
+                br = branch
+                if gate is not None:
+                    br = gate[:, None, :] * br
+                total = total + br
+        else:
+            ct = jnp.promote_types(x.dtype, jnp.float32)
+            total = x.astype(ct)
+            if branch is not None:
+                br = branch.astype(ct)
+                if gate is not None:
+                    br = gate.astype(ct)[:, None, :] * br
+                total = total + br
             total = total + residual.astype(ct)
         total = total.astype(total_dtype)
         norm_fn = rms_norm if is_rms else layer_norm
@@ -426,11 +439,14 @@ def norm_modulate(
             out = modulate(out, shift, scale)
         return out, total
 
+    # absent operands ride as (1, D) zeros with a constant index map --
+    # never read (static flags) and negligible DMA (a full-row base alias
+    # would stream the (t, D) block per tile up to 3x)
     zrow = jnp.zeros((1, D), x.dtype)
     base2 = x.reshape(-1, D)
-    branch2 = branch.reshape(-1, D) if branch is not None else base2
+    branch2 = branch.reshape(-1, D) if branch is not None else zrow
     gate2 = gate.reshape(B, 1, D) if gate is not None else zrow
-    res2 = residual.reshape(-1, D) if residual is not None else base2
+    res2 = residual.reshape(-1, D) if residual is not None else zrow
     w2 = (weight if weight is not None
           else jnp.ones((D,), jnp.float32)).reshape(1, D)
     b2 = (bias if bias is not None

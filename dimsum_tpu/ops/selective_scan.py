@@ -635,7 +635,7 @@ def _selective_scan_pallas_fwd_impl(
         # work-efficient tree does 11 FMA + 4 products per 8 timesteps vs
         # the trimmed Sklansky doubling's 17 + 13).  DIMSUM_SCAN_BK=0
         # restores the doubling schedule.
-        bk=os.environ.get("DIMSUM_SCAN_BK", "1") == "1",
+        bk=bk_default(),
     )
 
     # reverse mode visits L-chunks last-to-first: grid step l maps to the

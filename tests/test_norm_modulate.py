@@ -86,19 +86,24 @@ def test_kernel_grads_match_composition_interpret(monkeypatch):
                                    rtol=1e-4, atol=1e-4)
 
 
-def test_fallback_matches_legacy_composition_bitwise():
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_fallback_matches_legacy_composition_bitwise(dtype):
     """Off-TPU the helper must reproduce the legacy unfused op order
-    exactly (fp32)."""
+    exactly -- including the PER-OP bf16 rounding of the gate-add (the
+    legacy blocks computed `hidden + gate*branch` in the stream dtype)."""
     x, branch, res, gate, shift, scale, w, b = make()
-    xa, ba, ga, sh, sc = map(jnp.asarray, (x, branch, gate, shift, scale))
+    xa, ba, ga, sh, sc = (jnp.asarray(v, dtype)
+                          for v in (x, branch, gate, shift, scale))
     out, tot = norms.norm_modulate(
         xa, jnp.asarray(w), None, branch=ba, gate=ga, shift=sh, scale=sc,
         eps=1e-5, is_rms=True)
     legacy_tot = xa + ga[:, None, :] * ba
     legacy_out = norms.modulate(
         norms.rms_norm(legacy_tot, jnp.asarray(w), eps=1e-5), sh, sc)
-    np.testing.assert_array_equal(np.asarray(tot), np.asarray(legacy_tot))
-    np.testing.assert_array_equal(np.asarray(out), np.asarray(legacy_out))
+    np.testing.assert_array_equal(
+        np.asarray(tot, np.float32), np.asarray(legacy_tot, np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(out, np.float32), np.asarray(legacy_out, np.float32))
 
 
 def test_mxu_reduction_norms_match(monkeypatch):
