@@ -29,7 +29,8 @@ from einops import rearrange
 from dimsum_tpu.ops.norms import (fused_add_norm, layer_norm, modulate,
                                    norm_modulate)
 from dimsum_tpu.ops.wavelet import (
-    dwt_tokens, idwt_tokens, wavelet_pack_windowed, wavelet_unpack_windowed,
+    dwt_tokens, idwt_tokens, dwt_tokens_windowed, idwt_tokens_windowed,
+    wavelet_pack_windowed, wavelet_unpack_windowed,
 )
 from dimsum_tpu.ops.dct import dct_patch, idct_patch
 from dimsum_tpu.ops.scan_orders import local_scan, local_reverse
@@ -361,8 +362,16 @@ class WaveDiMBlock(nn.Module, _DropPathMixin):
                       and hidden_states.shape[-1] % patch ** 2 == 0
                       and h % patch == 0
                       and os.environ.get("DIMSUM_FUSED_WAVELET", "0") == "1")
+        # side == patch^2 (the 256-res configs): dwt pack + local_scan
+        # compose into ONE rearrange -- bitwise-equal, one 6-D transpose
+        # instead of two materialized copies (tests/test_ops.py)
+        one_rearrange = self.window_scan and h == patch * patch
         if fused_pack:
             hidden_states = wavelet_pack_windowed(
+                hidden_states, self.num_wavelet_lv,
+                column_first=column_first)
+        elif one_rearrange:
+            hidden_states = dwt_tokens_windowed(
                 hidden_states, self.num_wavelet_lv,
                 column_first=column_first)
         else:
@@ -407,6 +416,10 @@ class WaveDiMBlock(nn.Module, _DropPathMixin):
             hidden_states = _scanning_continuity(hidden_states, h, w)
         if fused_pack:
             hidden_states = wavelet_unpack_windowed(
+                hidden_states, self.num_wavelet_lv,
+                column_first=column_first)
+        elif one_rearrange:
+            hidden_states = idwt_tokens_windowed(
                 hidden_states, self.num_wavelet_lv,
                 column_first=column_first)
         else:

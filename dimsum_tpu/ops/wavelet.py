@@ -33,6 +33,7 @@ from einops import rearrange
 
 __all__ = [
     "dwt2d", "idwt2d", "dwt_tokens", "idwt_tokens",
+    "dwt_tokens_windowed", "idwt_tokens_windowed",
     "wavelet_pack_windowed", "wavelet_unpack_windowed",
 ]
 
@@ -91,6 +92,57 @@ def dwt_tokens(x, num_lv: int = 2):
         out = sub / scale
     return rearrange(out, "b (c p1 p2) h w -> b (h p1 w p2) c",
                      p1=patch, p2=patch)
+
+
+def dwt_tokens_windowed(x, num_lv: int = 2, column_first: bool = False):
+    """local_scan(dwt_tokens(x), w=side//patch, ...) as ONE rearrange.
+
+    When side == patch**2 (the 256-res DiM configs: 16 = 4**2), local_scan's
+    (Hg, wi, Wg, wj) window grouping coincides exactly with the dwt pack's
+    (h, p1, w, p2) token structure, so the two back-to-back 6-D transposes
+    (each a materialized ~2.4x-bandwidth copy on v5e, see BENCH.md layout
+    row) compose into a single one.  Bitwise-equal to the composition (the
+    butterfly arithmetic is untouched; only the rearrange composes)."""
+    B, L, C = x.shape
+    side = int(round(L ** 0.5))
+    patch = 2 ** num_lv
+    assert side == patch * patch, "windowed fusion requires side == patch^2"
+    xg = rearrange(x, "b (h w) c -> b c h w", h=side)
+    sub = dwt2d(xg)
+    scale = float(2 ** num_lv)
+    if num_lv > 1:
+        out = dwt2d(sub) / scale
+        groups = jnp.split(out, patch * patch, axis=1)
+        out = jnp.concatenate([groups[i] for i in _group_perm(patch)], axis=1)
+    else:
+        out = sub / scale
+    if column_first:
+        return rearrange(out, "b (c p1 p2) h w -> b (w h p2 p1) c",
+                         p1=patch, p2=patch)
+    return rearrange(out, "b (c p1 p2) h w -> b (h w p1 p2) c",
+                     p1=patch, p2=patch)
+
+
+def idwt_tokens_windowed(x, num_lv: int = 2, column_first: bool = False):
+    """Inverse of `dwt_tokens_windowed` (= idwt_tokens(local_reverse(x)))."""
+    B, L, C = x.shape
+    scale = float(2 ** num_lv)
+    patch = 2 ** num_lv
+    lowest = int(round(L ** 0.5)) // patch
+    assert lowest == patch, "windowed fusion requires side == patch^2"
+    if column_first:
+        sub = rearrange(x * scale, "b (w h p2 p1) c -> b (c p1 p2) h w",
+                        p1=patch, p2=patch, h=lowest)
+    else:
+        sub = rearrange(x * scale, "b (h w p1 p2) c -> b (c p1 p2) h w",
+                        p1=patch, p2=patch, h=lowest)
+    groups = jnp.split(sub, patch * patch, axis=1)
+    if num_lv > 1:
+        sub = jnp.concatenate([groups[i] for i in _group_perm(patch)], axis=1)
+        out = idwt2d(idwt2d(sub))
+    else:
+        out = idwt2d(jnp.concatenate(groups, axis=1))
+    return rearrange(out, "b c h w -> b (h w) c")
 
 
 def idwt_tokens(x, num_lv: int = 2):
