@@ -112,3 +112,30 @@ def test_sample_pp_cli_matches_pp1(tmp_path):
         outs[pp] = np.load(out / "latents.npz")["latents"]
 
     np.testing.assert_allclose(outs[2], outs[1], rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_calc_metrics_cli(tmp_path):
+    """calc_metrics.py over two tiny PNG folders with the random-projection
+    smoke detector: flag parsing, folder datasets, registry dispatch, and
+    the jsonl report (reference eval_toolbox/calc_metrics.py CLI)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    for name in ("real", "gen"):
+        d = tmp_path / name
+        d.mkdir()
+        for i in range(16):
+            arr = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"{i:03d}.png")
+    run_dir = tmp_path / "out"
+    _run(["calc_metrics.py", "--metrics", "fid2k_full",
+          "--real-dir", str(tmp_path / "real"),
+          "--gen-dir", str(tmp_path / "gen"),
+          "--image-size", "32", "--batch-size", "8",
+          "--cache-dir", str(tmp_path / "cache"),
+          "--run-dir", str(run_dir)], REPO)
+    report = run_dir / "metric-fid2k_full.jsonl"
+    assert report.exists()
+    rec = json.loads(report.read_text().strip().splitlines()[-1])
+    assert np.isfinite(rec["results"]["fid2k_full"])
