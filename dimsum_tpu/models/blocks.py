@@ -362,10 +362,14 @@ class WaveDiMBlock(nn.Module, _DropPathMixin):
                       and hidden_states.shape[-1] % patch ** 2 == 0
                       and h % patch == 0
                       and os.environ.get("DIMSUM_FUSED_WAVELET", "0") == "1")
-        # side == patch^2 (the 256-res configs): dwt pack + local_scan
-        # compose into ONE rearrange -- bitwise-equal, one 6-D transpose
-        # instead of two materialized copies (tests/test_ops.py)
-        one_rearrange = self.window_scan and h == patch * patch
+        # dwt pack + local_scan compose into ONE rearrange when the window
+        # aligns with the dwt block structure (side == patch^2, the 256-res
+        # configs) or refines it (window % patch == 0, e.g. 512-res) --
+        # bitwise-equal, one 6-D transpose instead of two materialized
+        # copies (tests/test_ops.py)
+        win = h // patch
+        one_rearrange = self.window_scan and (
+            win == patch or (win > patch and win % patch == 0))
         if fused_pack:
             hidden_states = wavelet_pack_windowed(
                 hidden_states, self.num_wavelet_lv,

@@ -558,7 +558,13 @@ def _pick_blocks(seqlen: int, dim: int, n_state: int = 16):
     env_db = int(os.environ.get("DIMSUM_SCAN_DBLOCK", "0"))
     if env_db and dim % env_db == 0:
         d_block = env_db  # experimentation override (benchmarks/scan_micro)
-    chunk = min(seqlen, max(8, 4096 // max(n_state, 1)))
+    # cap chunk * n_state at 2048 rows (2 MiB fp32 per row-array at
+    # d_block 256): measured fastest r3 under the Brent-Kung schedule --
+    # L=256 N=16: chunk 128 -> 1.0175 img/s vs 256 -> 1.0086/1.0107 and
+    # 64 -> 1.0036 (smaller live arrays leave VMEM headroom for
+    # double-buffering; the extra carry fold is one row-block FMA).
+    # 512-res agrees (0.1886 vs 0.1879).  dstate up to 256 still fits.
+    chunk = min(seqlen, max(8, 2048 // max(n_state, 1)))
     env_ck = int(os.environ.get("DIMSUM_SCAN_CHUNK", "0"))
     if env_ck and seqlen % env_ck == 0:
         chunk = min(env_ck, seqlen)

@@ -106,7 +106,9 @@ def dwt_tokens_windowed(x, num_lv: int = 2, column_first: bool = False):
     B, L, C = x.shape
     side = int(round(L ** 0.5))
     patch = 2 ** num_lv
-    assert side == patch * patch, "windowed fusion requires side == patch^2"
+    win = side // patch  # local_scan window width
+    assert win == patch or (win > patch and win % patch == 0), \
+        "windowed fusion requires side == patch^2 or window % patch == 0"
     xg = rearrange(x, "b (h w) c -> b c h w", h=side)
     sub = dwt2d(xg)
     scale = float(2 ** num_lv)
@@ -116,11 +118,23 @@ def dwt_tokens_windowed(x, num_lv: int = 2, column_first: bool = False):
         out = jnp.concatenate([groups[i] for i in _group_perm(patch)], axis=1)
     else:
         out = sub / scale
-    if column_first:
-        return rearrange(out, "b (c p1 p2) h w -> b (w h p2 p1) c",
+    if win == patch:  # side == patch^2: windows ARE the dwt blocks
+        if column_first:
+            return rearrange(out, "b (c p1 p2) h w -> b (w h p2 p1) c",
+                             p1=patch, p2=patch)
+        return rearrange(out, "b (c p1 p2) h w -> b (h w p1 p2) c",
                          p1=patch, p2=patch)
-    return rearrange(out, "b (c p1 p2) h w -> b (h w p1 p2) c",
-                     p1=patch, p2=patch)
+    # win > patch (e.g. 512-res: side 32, patch 4, window 8): each window
+    # row splits the lowest-grid axis as h = (h2: patch-many windows,
+    # h1: win//patch blocks per window); within-window index = (h1, p1)
+    f = win // patch
+    if column_first:
+        return rearrange(
+            out, "b (c p1 p2) (h2 h1) (w2 w1) -> b (w2 h2 w1 p2 h1 p1) c",
+            p1=patch, p2=patch, h1=f, w1=f)
+    return rearrange(
+        out, "b (c p1 p2) (h2 h1) (w2 w1) -> b (h2 w2 h1 p1 w1 p2) c",
+        p1=patch, p2=patch, h1=f, w1=f)
 
 
 def idwt_tokens_windowed(x, num_lv: int = 2, column_first: bool = False):
@@ -128,14 +142,29 @@ def idwt_tokens_windowed(x, num_lv: int = 2, column_first: bool = False):
     B, L, C = x.shape
     scale = float(2 ** num_lv)
     patch = 2 ** num_lv
-    lowest = int(round(L ** 0.5)) // patch
-    assert lowest == patch, "windowed fusion requires side == patch^2"
-    if column_first:
-        sub = rearrange(x * scale, "b (w h p2 p1) c -> b (c p1 p2) h w",
-                        p1=patch, p2=patch, h=lowest)
+    side = int(round(L ** 0.5))
+    lowest = side // patch
+    win = side // patch
+    assert win == patch or (win > patch and win % patch == 0)
+    if win == patch:
+        if column_first:
+            sub = rearrange(x * scale, "b (w h p2 p1) c -> b (c p1 p2) h w",
+                            p1=patch, p2=patch, h=lowest)
+        else:
+            sub = rearrange(x * scale, "b (h w p1 p2) c -> b (c p1 p2) h w",
+                            p1=patch, p2=patch, h=lowest)
     else:
-        sub = rearrange(x * scale, "b (h w p1 p2) c -> b (c p1 p2) h w",
-                        p1=patch, p2=patch, h=lowest)
+        f = win // patch
+        if column_first:
+            sub = rearrange(
+                x * scale,
+                "b (w2 h2 w1 p2 h1 p1) c -> b (c p1 p2) (h2 h1) (w2 w1)",
+                p1=patch, p2=patch, h1=f, w1=f, h2=patch, w2=patch)
+        else:
+            sub = rearrange(
+                x * scale,
+                "b (h2 w2 h1 p1 w1 p2) c -> b (c p1 p2) (h2 h1) (w2 w1)",
+                p1=patch, p2=patch, h1=f, w1=f, h2=patch, w2=patch)
     groups = jnp.split(sub, patch * patch, axis=1)
     if num_lv > 1:
         sub = jnp.concatenate([groups[i] for i in _group_perm(patch)], axis=1)

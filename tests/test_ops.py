@@ -321,8 +321,9 @@ def test_fused_add_norm_pallas_matches_xla(is_rms, has_bias, monkeypatch):
                                    rtol=2e-4)
 
 
+@pytest.mark.parametrize("side", [16, 32])
 @pytest.mark.parametrize("column_first", [False, True])
-def test_dwt_tokens_windowed_single_rearrange(column_first):
+def test_dwt_tokens_windowed_single_rearrange(column_first, side):
     """dwt_tokens_windowed == local_scan(dwt_tokens(.)) BITWISE (side ==
     patch^2 composes the two 6-D transposes into one), and the inverse
     round-trips."""
@@ -331,13 +332,16 @@ def test_dwt_tokens_windowed_single_rearrange(column_first):
     from dimsum_tpu.ops.scan_orders import local_scan, local_reverse
 
     rng = np.random.default_rng(11)
-    x = jnp.asarray(rng.standard_normal((2, 256, 48)).astype(np.float32))
-    want = local_scan(dwt_tokens(x, 2), w=4, H=16, W=16,
+    x = jnp.asarray(rng.standard_normal((2, side * side, 48))
+                    .astype(np.float32))
+    w = side // 4
+    want = local_scan(dwt_tokens(x, 2), w=w, H=side, W=side,
                       column_first=column_first)
     got = dwt_tokens_windowed(x, 2, column_first=column_first)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
     back = idwt_tokens(
-        local_reverse(want, w=4, H=16, W=16, column_first=column_first), 2)
+        local_reverse(want, w=w, H=side, W=side,
+                      column_first=column_first), 2)
     got2 = idwt_tokens_windowed(got, 2, column_first=column_first)
     np.testing.assert_array_equal(np.asarray(got2), np.asarray(back))
     np.testing.assert_allclose(np.asarray(got2), np.asarray(x),
