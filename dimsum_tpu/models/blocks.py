@@ -364,12 +364,18 @@ class WaveDiMBlock(nn.Module, _DropPathMixin):
                       and os.environ.get("DIMSUM_FUSED_WAVELET", "0") == "1")
         # dwt pack + local_scan compose into ONE rearrange when the window
         # aligns with the dwt block structure (side == patch^2, the 256-res
-        # configs) or refines it (window % patch == 0, e.g. 512-res) --
-        # bitwise-equal, one 6-D transpose instead of two materialized
-        # copies (tests/test_ops.py)
+        # configs) -- bitwise-equal, one 6-D transpose instead of two
+        # materialized copies (tests/test_ops.py).  The window > patch
+        # generalization (512-res side 32) is implemented and tested but
+        # measured 4.5% SLOWER end-to-end (0.1802 vs 0.1886 img/s at
+        # 512-res: the finer 8-factor rearrange lowers to worse copies than
+        # the two-step pair XLA already folds), so it is opt-in.
         win = h // patch
         one_rearrange = self.window_scan and (
-            win == patch or (win > patch and win % patch == 0))
+            win == patch
+            or (win > patch and win % patch == 0
+                and os.environ.get("DIMSUM_WAVELET_ONE_REARRANGE", "0")
+                == "1"))
         if fused_pack:
             hidden_states = wavelet_pack_windowed(
                 hidden_states, self.num_wavelet_lv,
