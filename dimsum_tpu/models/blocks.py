@@ -367,9 +367,10 @@ class WaveDiMBlock(nn.Module, _DropPathMixin):
         # configs) -- bitwise-equal, one 6-D transpose instead of two
         # materialized copies (tests/test_ops.py).  The window > patch
         # generalization (512-res side 32) is implemented and tested but
-        # measured 4.5% SLOWER end-to-end (0.1802 vs 0.1886 img/s at
-        # 512-res: the finer 8-factor rearrange lowers to worse copies than
-        # the two-step pair XLA already folds), so it is opt-in.
+        # measured 4.6% SLOWER end-to-end (0.1799 vs 0.1886 img/s at
+        # 512-res, confirmed on a healthy chip: the finer 8-factor
+        # rearrange lowers to worse copies than the two-step pair XLA
+        # already folds), so it is opt-in.
         win = h // patch
         one_rearrange = self.window_scan and (
             win == patch

@@ -539,9 +539,11 @@ def _pick_blocks(seqlen: int, dim: int, n_state: int = 16):
     """Choose (chunk, d_block) so chunk divides L and d_block divides dim.
 
     The kernel's live row-arrays are (chunk * n_state, d_block) fp32; cap
-    the product chunk*n_state at 4096 (128 lanes x 4096 sublanes x 4B =
-    2 MiB per array) so dstate up to 256 -- the reference kernel's maximum
-    (selective_scan.cpp:262) -- stays within the ~16 MB VMEM budget.
+    the product chunk*n_state at 2048 rows (2 MiB per array at d_block
+    256) -- measured fastest r3, see the comment at the cap below -- so
+    dstate up to 256 (the reference kernel's maximum,
+    selective_scan.cpp:262) stays within the ~16 MB VMEM budget with
+    double-buffering headroom.
 
     dims that are not a multiple of 128 return d_block=-1; the dispatcher
     pads the channel axis (see _pad_dim in selective_scan_pallas)."""
@@ -570,6 +572,11 @@ def _pick_blocks(seqlen: int, dim: int, n_state: int = 16):
         chunk = min(env_ck, seqlen)
     while seqlen % chunk != 0:
         chunk //= 2
+    if chunk < 8 and seqlen * n_state <= 4096:
+        # odd seqlens (e.g. 175) with no power-of-two divisor under the
+        # cap: one full-width chunk (the odd-chunk scan path) beats a
+        # degenerate grid of 1-timestep invocations
+        chunk = seqlen
     return max(chunk, 1), d_block
 
 

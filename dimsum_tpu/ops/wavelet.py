@@ -73,11 +73,10 @@ def _group_perm(patch: int):
     return [i % 4 * patch + i // 4 for i in range(patch * patch)]
 
 
-def dwt_tokens(x, num_lv: int = 2):
-    """Token-grid DWT pack (reference `_dwt_fast`, models_dim.py:572-586).
-
-    x: (B, L, C) with L = H*W square -> (B, L, C) of packed subband tokens.
-    """
+def _dwt_pack_subbands(x, num_lv: int):
+    """(B, L, C) tokens -> (B, (c p1 p2), h, w) group-interleaved subbands
+    (the shared transform of dwt_tokens / dwt_tokens_windowed; only the
+    final token rearrange differs between them)."""
     B, L, C = x.shape
     side = int(round(L ** 0.5))
     xg = rearrange(x, "b (h w) c -> b c h w", h=side)
@@ -90,6 +89,29 @@ def dwt_tokens(x, num_lv: int = 2):
         out = jnp.concatenate([groups[i] for i in _group_perm(patch)], axis=1)
     else:
         out = sub / scale
+    return out
+
+
+def _idwt_unpack_subbands(sub, num_lv: int):
+    """Inverse of `_dwt_pack_subbands` from the (B, (c p1 p2), h, w)
+    layout back to (B, L, C) tokens."""
+    patch = 2 ** num_lv
+    groups = jnp.split(sub, patch * patch, axis=1)
+    if num_lv > 1:
+        sub = jnp.concatenate([groups[i] for i in _group_perm(patch)], axis=1)
+        out = idwt2d(idwt2d(sub))
+    else:
+        out = idwt2d(jnp.concatenate(groups, axis=1))
+    return rearrange(out, "b c h w -> b (h w) c")
+
+
+def dwt_tokens(x, num_lv: int = 2):
+    """Token-grid DWT pack (reference `_dwt_fast`, models_dim.py:572-586).
+
+    x: (B, L, C) with L = H*W square -> (B, L, C) of packed subband tokens.
+    """
+    patch = 2 ** num_lv
+    out = _dwt_pack_subbands(x, num_lv)
     return rearrange(out, "b (c p1 p2) h w -> b (h p1 w p2) c",
                      p1=patch, p2=patch)
 
@@ -109,15 +131,7 @@ def dwt_tokens_windowed(x, num_lv: int = 2, column_first: bool = False):
     win = side // patch  # local_scan window width
     assert win == patch or (win > patch and win % patch == 0), \
         "windowed fusion requires side == patch^2 or window % patch == 0"
-    xg = rearrange(x, "b (h w) c -> b c h w", h=side)
-    sub = dwt2d(xg)
-    scale = float(2 ** num_lv)
-    if num_lv > 1:
-        out = dwt2d(sub) / scale
-        groups = jnp.split(out, patch * patch, axis=1)
-        out = jnp.concatenate([groups[i] for i in _group_perm(patch)], axis=1)
-    else:
-        out = sub / scale
+    out = _dwt_pack_subbands(x, num_lv)
     if win == patch:  # side == patch^2: windows ARE the dwt blocks
         if column_first:
             return rearrange(out, "b (c p1 p2) h w -> b (w h p2 p1) c",
@@ -143,16 +157,17 @@ def idwt_tokens_windowed(x, num_lv: int = 2, column_first: bool = False):
     scale = float(2 ** num_lv)
     patch = 2 ** num_lv
     side = int(round(L ** 0.5))
-    lowest = side // patch
+    # the local_scan window is definitionally side // patch here, which is
+    # also the lowest-grid side; the h2=patch factors below rely on that
     win = side // patch
     assert win == patch or (win > patch and win % patch == 0)
     if win == patch:
         if column_first:
             sub = rearrange(x * scale, "b (w h p2 p1) c -> b (c p1 p2) h w",
-                            p1=patch, p2=patch, h=lowest)
+                            p1=patch, p2=patch, h=win)
         else:
             sub = rearrange(x * scale, "b (h w p1 p2) c -> b (c p1 p2) h w",
-                            p1=patch, p2=patch, h=lowest)
+                            p1=patch, p2=patch, h=win)
     else:
         f = win // patch
         if column_first:
@@ -165,13 +180,7 @@ def idwt_tokens_windowed(x, num_lv: int = 2, column_first: bool = False):
                 x * scale,
                 "b (h2 w2 h1 p1 w1 p2) c -> b (c p1 p2) (h2 h1) (w2 w1)",
                 p1=patch, p2=patch, h1=f, w1=f, h2=patch, w2=patch)
-    groups = jnp.split(sub, patch * patch, axis=1)
-    if num_lv > 1:
-        sub = jnp.concatenate([groups[i] for i in _group_perm(patch)], axis=1)
-        out = idwt2d(idwt2d(sub))
-    else:
-        out = idwt2d(jnp.concatenate(groups, axis=1))
-    return rearrange(out, "b c h w -> b (h w) c")
+    return _idwt_unpack_subbands(sub, num_lv)
 
 
 def idwt_tokens(x, num_lv: int = 2):
@@ -182,13 +191,7 @@ def idwt_tokens(x, num_lv: int = 2):
     lowest = int(round(L ** 0.5)) // patch
     sub = rearrange(x * scale, "b (h p1 w p2) c -> b (c p1 p2) h w",
                     p1=patch, p2=patch, h=lowest)
-    groups = jnp.split(sub, patch * patch, axis=1)
-    if num_lv > 1:
-        sub = jnp.concatenate([groups[i] for i in _group_perm(patch)], axis=1)
-        out = idwt2d(idwt2d(sub))
-    else:
-        out = idwt2d(jnp.concatenate(groups, axis=1))
-    return rearrange(out, "b c h w -> b (h w) c")
+    return _idwt_unpack_subbands(sub, num_lv)
 
 
 # ---------------------------------------------------------------------------

@@ -69,3 +69,22 @@ def test_bk_against_sequential_oracle():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(last), outs[-1],
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pick_blocks_odd_seqlen_keeps_full_chunk():
+    """Seqlens in 129..255 with no power-of-two divisor under the 128 cap
+    must fall back to ONE full-width chunk (the odd-chunk scan path), not
+    collapse to a degenerate grid of 1-timestep invocations."""
+    from dimsum_tpu.ops.selective_scan import _pick_blocks
+
+    chunk, d_block = _pick_blocks(175, 256, 16)
+    assert chunk == 175
+    chunk, _ = _pick_blocks(250, 256, 16)   # 250 = 2 * 125: halves to 2,
+    assert chunk == 250                     # then full-width fallback
+    chunk, _ = _pick_blocks(256, 256, 16)   # power-of-two: capped at 128
+    assert chunk == 128
+    chunk, _ = _pick_blocks(64, 256, 16)
+    assert chunk == 64
+    # huge odd seqlen * n_state beyond the 4096-row budget: keep halving
+    chunk, _ = _pick_blocks(6250, 256, 16)
+    assert chunk >= 1 and 6250 % chunk == 0
