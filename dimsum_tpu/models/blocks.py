@@ -53,7 +53,7 @@ class Norm(nn.Module):
 
     @nn.compact
     def __call__(self, x, residual=None, prenorm=True, residual_in_fp32=True,
-                 branch=None, gate=None, shift=None, scale=None):
+                 branch=None, gate=None, shift=None, scale=None, fuse=None):
         d = x.shape[-1]
         weight = self.param("weight", nn.initializers.ones, (d,))
         bias = None if self.rms else self.param(
@@ -65,7 +65,7 @@ class Norm(nn.Module):
             return norm_modulate(
                 x, weight, bias, branch=branch, gate=gate,
                 residual=residual, shift=shift, scale=scale, eps=self.eps,
-                is_rms=self.rms, total_dtype=total_dtype)
+                is_rms=self.rms, total_dtype=total_dtype, fuse=fuse)
         return fused_add_norm(
             x, weight, bias, residual=residual, eps=self.eps,
             prenorm=prenorm, residual_in_fp32=residual_in_fp32,
@@ -96,6 +96,29 @@ class _DropPathMixin:
             hidden_states = drop_path_fn(
                 hidden_states, rate, self.make_rng("drop_path"))
         return hidden_states
+
+
+def pending_tail_mode() -> int:
+    """DIMSUM_PENDING_TAIL: 0 = off (default); 1 = defer each combined
+    block's tail FFN add (`total2 + gate_mlp * mlp_out`) into the NEXT
+    block's top add+norm (XLA composition); 2 = same, plus the Pallas fused
+    norm kernel at the deferred top sites (the kernel then absorbs the tail
+    add + residual add + norm in one VMEM pass with nothing stranded -- the
+    stranded-neighbor mechanism that made the standalone kernel lose is the
+    op being absorbed here)."""
+    try:
+        return int(os.environ.get("DIMSUM_PENDING_TAIL", "0"))
+    except ValueError:
+        return 0
+
+
+def materialize_pending(x, pending):
+    """Fold a deferred block tail: x + gate * branch (identity when no
+    pending)."""
+    if pending is None:
+        return x
+    branch, gate = pending
+    return x + gate[:, None, :] * branch
 
 
 def _add_identity_norm(x, residual, residual_in_fp32=True):
@@ -726,15 +749,34 @@ class DiMBlockCombined(nn.Module, _DropPathMixin):
     freq_variant: str = "wave"  # "wave" | "dct" | "einfft"
     mixer_kwargs_2: Optional[Dict[str, Any]] = None
     drop_path_rate: float = 0.0
+    defer_tail: bool = False  # return (base, residual, (mlp_out, gate)) and
+    #                           let the next top norm absorb the tail add
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, hidden_states, residual=None, c=None,
-                 train: bool = False):
-        hidden_states = self._maybe_drop_path(hidden_states, residual, train)
-        hidden_states, residual = Norm(
-            rms=self.rms_norm, eps=self.norm_eps, name="norm")(
-            hidden_states, residual, residual_in_fp32=self.residual_in_fp32)
+                 train: bool = False, pending=None):
+        if (pending is not None and train and self.drop_path_rate > 0.0
+                and residual is not None):
+            # stochastic depth drops the WHOLE previous block output --
+            # materialize the deferred tail before masking
+            hidden_states = materialize_pending(hidden_states, pending)
+            pending = None
+        if pending is None:
+            hidden_states = self._maybe_drop_path(
+                hidden_states, residual, train)
+            hidden_states, residual = Norm(
+                rms=self.rms_norm, eps=self.norm_eps, name="norm")(
+                hidden_states, residual,
+                residual_in_fp32=self.residual_in_fp32)
+        else:
+            br, g = pending
+            hidden_states, residual = Norm(
+                rms=self.rms_norm, eps=self.norm_eps, name="norm")(
+                hidden_states, residual,
+                residual_in_fp32=self.residual_in_fp32,
+                branch=br, gate=g,
+                fuse=True if pending_tail_mode() == 2 else None)
 
         half = self.dim // 2
         x1, x2 = jnp.split(hidden_states, 2, axis=2)
@@ -782,7 +824,9 @@ class DiMBlockCombined(nn.Module, _DropPathMixin):
             hidden_states, prenorm=False, branch=fused,
             shift=shift_mlp, scale=scale_mlp)
         mlp_cls = GatedMLP if self.use_gated_mlp else Mlp
-        hidden_states = hidden_states + gate_mlp[:, None, :] * mlp_cls(
-            4 * self.dim, act=gelu_tanh, dtype=self.dtype, name="mlp")(
-            moded)
+        mlp_out = mlp_cls(4 * self.dim, act=gelu_tanh, dtype=self.dtype,
+                          name="mlp")(moded)
+        if self.defer_tail:
+            return hidden_states, residual, (mlp_out, gate_mlp)
+        hidden_states = hidden_states + gate_mlp[:, None, :] * mlp_out
         return hidden_states, residual

@@ -33,6 +33,8 @@ from dimsum_tpu.models.blocks import (
     MoEBlock,
     Norm,
     WaveDiMBlock,
+    materialize_pending,
+    pending_tail_mode,
 )
 from dimsum_tpu.models.embedders import (
     AdaInPosCNN,
@@ -161,7 +163,8 @@ def _mixer_kwargs_for(layer_idx: int, cfg: DiMConfig, paths, paths2):
 
 
 def make_dim_block(i: int, cfg: DiMConfig, paths, paths2,
-                   drop_path_rate: float = 0.0, name=None):
+                   drop_path_rate: float = 0.0, name=None,
+                   defer_tail: bool = False):
     """create_block dispatch (reference :2001-2160) as a free function so
     callers outside a module context (e.g. the pipeline-parallel stage
     templates) can build unbound blocks with name=None."""
@@ -209,7 +212,7 @@ def make_dim_block(i: int, cfg: DiMConfig, paths, paths2,
             reverse=reverse, transpose=transpose,
             scanning_continuity=cfg.scanning_continuity,
             use_gated_mlp=cfg.use_gated_mlp, freq_variant=variant,
-            mixer_kwargs_2=mk2, **common)
+            mixer_kwargs_2=mk2, defer_tail=defer_tail, **common)
     # default: "linear"
     return MixerBlockCore(
         no_ffn=False, reverse=reverse, transpose=transpose,
@@ -231,9 +234,9 @@ class DiM(nn.Module):
         return inter_dpr, dpr
 
     def _make_block(self, i: int, cfg: DiMConfig, paths, paths2,
-                    drop_path_rate: float = 0.0):
+                    drop_path_rate: float = 0.0, defer_tail: bool = False):
         return make_dim_block(i, cfg, paths, paths2, drop_path_rate,
-                              name=f"blocks_{i}")
+                              name=f"blocks_{i}", defer_tail=defer_tail)
 
     @nn.compact
     def __call__(self, x, t, y=None, train: bool = False,
@@ -291,16 +294,31 @@ class DiM(nn.Module):
         freq_residual = None
         attn_idx = 0
         inter_dpr, dpr = self._drop_path_rates(cfg)
+        # cross-block pending-tail (DIMSUM_PENDING_TAIL, blocks.py): combined
+        # blocks return the tail FFN add unmaterialized and the next block's
+        # top add+norm absorbs it; disabled under remat (the pending tuple
+        # would cross the checkpoint boundary)
+        pmode = 0 if cfg.grad_checkpoint else pending_tail_mode()
+        pending = None
         for i in range(cfg.eff_depth):
             block = self._make_block(i, cfg, paths, paths2,
-                                     drop_path_rate=inter_dpr[i])
+                                     drop_path_rate=inter_dpr[i],
+                                     defer_tail=pmode > 0)
             if cfg.grad_checkpoint:
                 x, residual = nn.remat(
                     lambda mdl, *a: mdl(*a, train=train))(
                     block, x, residual, c)
+            elif pmode > 0 and isinstance(block, DiMBlockCombined):
+                x, residual, new_pending = block(
+                    x, residual, c, train=train, pending=pending)
+                pending = new_pending
             else:
+                x = materialize_pending(x, pending)
+                pending = None
                 x, residual = block(x, residual, c, train=train)
             if cfg.enable_fourier_layers:
+                x = materialize_pending(x, pending)
+                pending = None
                 # auxiliary frequency blocks after each main block
                 # (reference :1699-1723,1847-1853; NOTE the reference's own
                 # construction crashes -- gen_paths arity bug at :1702 --
@@ -318,6 +336,8 @@ class DiM(nn.Module):
                     name=f"fourier_blocks_{i}")(x, freq_residual, c,
                                                 train=train)
             if attn_every > 0 and (i + 1) % attn_every == 0:
+                x = materialize_pending(x, pending)
+                pending = None
                 if cfg.use_independent_attn:
                     if attn_idx < cfg.num_attn_blocks:
                         x = DiTBlock(cfg.hidden_size, 16,
@@ -327,6 +347,9 @@ class DiM(nn.Module):
                         attn_idx += 1
                 else:
                     x = shared_attn(x, c)
+
+        x = materialize_pending(x, pending)
+        pending = None
 
         if cfg.use_final_norm:
             # model-level DropPath at the final merge (reference :1867-1880,

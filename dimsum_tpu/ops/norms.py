@@ -360,8 +360,9 @@ def _norm_mod_pallas(base, branch, gate, res, w, b, shift, scale,
     )(base, branch, gate, res, w, b, shift, scale)
 
 
-def _fused_norm_mod_ok(x) -> bool:
-    # OPT-IN (DIMSUM_FUSED_NORM=1).  Measured r3 on the headline bench:
+def _fused_norm_mod_ok(x, fuse=None) -> bool:
+    # OPT-IN (DIMSUM_FUSED_NORM=1, or fuse=True at a specific call site).
+    # Measured r3 on the headline bench:
     # the kernel itself runs the whole add+norm+modulate site in 0.047 ms
     # vs the 0.31 ms multi-output reduce fusion it replaces, yet END-TO-END
     # is 1% SLOWER (0.9527 vs 0.9627 img/s; with the site-A add+norm kernel
@@ -373,7 +374,9 @@ def _fused_norm_mod_ok(x) -> bool:
     # bench.py.
     interpret = os.environ.get("DIMSUM_NORM_INTERPRET", "0") == "1"
     if not interpret:
-        if os.environ.get("DIMSUM_FUSED_NORM", "0") != "1":
+        requested = (fuse if fuse is not None
+                     else os.environ.get("DIMSUM_FUSED_NORM", "0") == "1")
+        if not requested:
             return False
         if jax.default_backend() not in ("tpu", "axon"):
             return False
@@ -388,7 +391,7 @@ def _fused_norm_mod_ok(x) -> bool:
 def norm_modulate(
     x, weight, bias=None, *, branch=None, gate=None, residual=None,
     shift=None, scale=None, eps: float = 1e-5, is_rms: bool = True,
-    total_dtype=None,
+    total_dtype=None, fuse=None,
 ):
     """total = x (+ gate*branch) (+ residual); out = modulate(Norm(total)).
 
@@ -410,7 +413,7 @@ def norm_modulate(
         has_b=bias is not None,
         has_mod=has_mod,
     )
-    if not _fused_norm_mod_ok(x):
+    if not _fused_norm_mod_ok(x, fuse):
         # straight composition, BITWISE identical to the legacy call sites:
         # without a residual the adds run per-op in the input dtype (the
         # legacy blocks did `hidden + gate*branch` in bf16); with a
