@@ -93,6 +93,30 @@ SCENARIOS = {
         dict(rms_norm=True, fused_add_norm=True, scan_type="none",
              block_type="wave", cond_mamba=True),
     ),
+    # mixer-only raw blocks: depth x3 (models_dim.py:1594-1597), per-layer
+    # reverse/transpose alternation, no FFN (DiMBlockRaw :1402-1529)
+    "raw": (
+        dict(rms_norm=True, fused_add_norm=True, scan_type="none",
+             block_type="raw", cond_mamba=True),
+        dict(rms_norm=True, fused_add_norm=True, scan_type="none",
+             block_type="raw", cond_mamba=True),
+    ),
+    # EinFFT spectral frequency branch (models_dim.py:713-775, combined
+    # variant :1267-1399): complex block-diagonal weights through the
+    # converter, FFT2 parity
+    "combined_einfft": (
+        dict(rms_norm=True, fused_add_norm=True, scan_type="none",
+             block_type="combined_einfft", cond_mamba=True),
+        dict(rms_norm=True, fused_add_norm=True, scan_type="none",
+             block_type="combined_einfft", cond_mamba=True),
+    ),
+    # MoE: tested at the BLOCK level (run_moe_block) because the reference's
+    # DiM cannot be constructed with is_moe=True at all:
+    # initialize_weights (models_dim.py:1762-1764) zero-inits
+    # `block.adaLN_modulation[-1]` for EVERY block, and MoEBlock
+    # (models_dim.py:936-971) has no adaLN_modulation -> AttributeError.
+    # (Same class of latent bug as the zigzag/cpe construction crashes.)
+    "moe": (None, None),
 }
 
 # frozen buffers/parameters regenerated on the JAX side; must stay at their
@@ -159,12 +183,70 @@ def run_zigzag_mixer(ns) -> None:
     assert diff < 1e-4, f"parity failure: {diff} vs reference"
 
 
+def run_moe_block(ns) -> None:
+    """Block-level MoE parity: reference MoEBlock + SwitchMLP (top-1 routed
+    dense expert loop, switch_mlp.py:52-94) vs my MoEBlock.  See the
+    SCENARIOS note for why this cannot run at the DiM level in the
+    reference.  Covers the converter's router / local_experts_N /
+    linear_fc1+2 handling."""
+    import importlib
+    import torch
+    from functools import partial
+
+    switch_mlp = importlib.import_module("switch_mlp")
+    DIM, L, E = 64, 16, 4
+    torch.manual_seed(0)
+    mixer_cls = partial(
+        switch_mlp.SwitchMLP, layer_idx=1, mamba_moe_layers=None,
+        num_moe_experts=E, add_bias_linear=False, gated_linear_unit=True,
+        routing_mode="top1")
+    ref = ns.models_dim.MoEBlock(DIM, mixer_cls, norm_cls=torch.nn.LayerNorm,
+                                 fused_add_norm=False, residual_in_fp32=True)
+    g = torch.Generator().manual_seed(1)
+    with torch.no_grad():
+        for pname, p in ref.named_parameters():
+            p.add_(0.05 * torch.randn(p.shape, generator=g))
+    ref = ref.eval().double()
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, L, DIM))
+    res = rng.standard_normal((2, L, DIM))
+    with torch.no_grad():
+        want, want_res = ref(torch.tensor(x), torch.tensor(res))
+        want, want_res = want.numpy(), want_res.numpy()
+
+    sd = {k: v.detach().cpu().numpy() for k, v in ref.state_dict().items()}
+
+    from dimsum_tpu.models.blocks import MoEBlock
+    from dimsum_tpu.utils.ckpt import convert_torch_state_dict
+
+    model = MoEBlock(dim=DIM, rms_norm=False, residual_in_fp32=True,
+                     num_moe_experts=E, add_bias_linear=False,
+                     gated_linear_unit=True, routing_mode="top1",
+                     dtype=jnp.float64)
+    template = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                          jnp.asarray(res))["params"]
+    params = convert_torch_state_dict(sd, template, strict=True)
+    got, got_res = model.apply({"params": params}, jnp.asarray(x),
+                               jnp.asarray(res))
+    scale = float(np.abs(want).max())
+    diff = max(float(np.abs(np.asarray(got) - want).max()),
+               float(np.abs(np.asarray(got_res) - want_res).max()))
+    print(json.dumps({"config": "moe(block)", "max_abs_diff": diff,
+                      "out_scale": scale}))
+    assert scale > 1e-3
+    assert diff < 1e-4, f"parity failure: {diff} vs reference"
+
+
 def main(name: str) -> None:
     import torch
 
     ns = refshim.install()
     if name == "zigzag":
         run_zigzag_mixer(ns)
+        return
+    if name == "moe":
+        run_moe_block(ns)
         return
     ref_kw, my_kw = SCENARIOS[name]
 
@@ -178,6 +260,18 @@ def main(name: str) -> None:
         return orig_t_emb(t, dim, max_period).to(t.dtype)
 
     ns.models_dim.TimestepEmbedder.timestep_embedding = staticmethod(_t_emb)
+
+    # precision-only patch #2: the reference EinFFT hardcodes fp32/complex64
+    # internally (models_dim.py:766 `.float()`, :773 `.to(torch.float32)`),
+    # so under double weights the returned fp32 tensor crashes the next
+    # double matmul.  Cast the output back to the input dtype; the internal
+    # fp32 truncation (~1e-7 relative) is the reference's own math and stays.
+    orig_einfft_fwd = ns.models_dim.EinFFT.forward
+
+    def _einfft_fwd(self, x):
+        return orig_einfft_fwd(self, x).to(x.dtype)
+
+    ns.models_dim.EinFFT.forward = _einfft_fwd
 
     torch.manual_seed(0)
     ref = ns.models_dim.DiM(

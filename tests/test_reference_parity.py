@@ -47,7 +47,8 @@ def test_reference_parity_combined():
 
 @pytest.mark.slow
 @pytest.mark.parametrize(
-    "config", ["combined_fourier", "v2", "zigzag", "window", "wave"])
+    "config", ["combined_fourier", "v2", "zigzag", "window", "wave",
+               "raw", "combined_einfft", "moe"])
 def test_reference_parity_variants(config):
     res = _run(config)
     assert res["max_abs_diff"] < 1e-4
