@@ -25,6 +25,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from dimsum_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
 A100_BASELINE_IMG_PER_SEC = 1.0
 
 

@@ -112,6 +112,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from dimsum_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from dimsum_tpu.models.factory import create_model
     from dimsum_tpu.models.dim import forward_with_cfg, forward_with_adacfg
     from dimsum_tpu.transport import Sampler

@@ -76,6 +76,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from dimsum_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from dimsum_tpu.data import Loader, device_put_sharded_batch, get_dataset
     from dimsum_tpu.models.factory import create_model
     from dimsum_tpu.parallel import (
@@ -209,7 +213,7 @@ def main():
                 running_loss, log_steps = 0.0, 0
                 start_time = time.time()
 
-        if epoch % args.save_content_every == 0:
+        if epoch % args.save_content_every == 0 and epoch > 0:
             save_checkpoint(content_dir, state, step=train_steps, keep=2)
             logger.info(f"saved content checkpoint at step {train_steps}")
         if epoch % args.ckpt_every == 0 and epoch > 0:
