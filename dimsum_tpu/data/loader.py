@@ -103,12 +103,20 @@ class Loader:
 
 def device_put_sharded_batch(batch, mesh=None):
     """Place a host batch on the device(s); with a mesh, shard the leading
-    axis over 'data'."""
+    axis over 'data'.
+
+    Multi-process: each process passes the rows ITS Loader stripe produced
+    (global_batch / process_count of them); the pieces assemble into one
+    global array along 'data' in process order."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     x, y = batch
     if mesh is None:
         return jax.device_put(x), jax.device_put(y)
+    if jax.process_count() > 1:
+        from dimsum_tpu.parallel.mesh import host_local_to_global
+
+        return host_local_to_global(mesh, P("data"), x, y)
     sx = NamedSharding(mesh, P("data"))
     return jax.device_put(x, sx), jax.device_put(y, sx)

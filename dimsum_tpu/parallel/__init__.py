@@ -1,6 +1,9 @@
 """Mesh construction and sharded train/sample steps."""
 
 from dimsum_tpu.parallel.mesh import (  # noqa: F401
+    init_distributed,
+    host_local_to_global,
+    replicate_to_mesh,
     make_mesh,
     make_seq_mesh,
     data_sharding,

@@ -26,12 +26,50 @@ def init_distributed(coordinator_address: Optional[str] = None,
     """Multi-host initialization (the reference's init_process_group
     equivalent, train.py:145).  One call per host; collectives then ride
     ICI within a slice and DCN across slices.  Returns the process index.
-    No-op on single-host setups."""
+    No-op on single-host setups.
+
+    On TPU pods `num_processes`/`process_id` may be omitted (auto-detected
+    from the TPU environment, like torchrun's env:// rendezvous); on
+    CPU/GPU pass them explicitly per process."""
     if num_processes is not None and num_processes > 1:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes, process_id=process_id)
     return jax.process_index()
+
+
+def host_local_to_global(mesh: Mesh, spec, *arrays):
+    """Assemble global arrays from per-process local pieces.
+
+    Each process passes the rows IT loaded (its Loader shard / its slice of
+    the per-shard key array); the pieces concatenate along the sharded axis
+    in process order (the mesh is built from `jax.devices()`, which orders
+    devices by process index).  Single-process: a plain sharded device_put.
+    """
+    if jax.process_count() == 1:
+        sh = NamedSharding(mesh, spec)
+        out = tuple(jax.device_put(a, sh) for a in arrays)
+    else:
+        from jax.experimental import multihost_utils
+
+        out = tuple(
+            multihost_utils.host_local_array_to_global_array(a, mesh, spec)
+            for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+
+def replicate_to_mesh(tree, mesh: Mesh):
+    """Place an identical-on-every-process host pytree as globally
+    replicated jax.Arrays on the mesh (each process fills its addressable
+    shards from its local copy; no cross-host transfer)."""
+    sh = NamedSharding(mesh, P())
+
+    def put(a):
+        a = np.asarray(a)
+        return jax.make_array_from_callback(a.shape, sh,
+                                            lambda idx: a[idx])
+
+    return jax.tree.map(put, tree)
 
 
 def make_mesh(data: Optional[int] = None, model: int = 1,

@@ -45,6 +45,18 @@ def parse_args(argv=None):
     p.add_argument("--plot-every", type=int, default=5)
     p.add_argument("--model-ckpt", type=str, default="")
     p.add_argument("--resume", action="store_true")
+    # multi-host (the reference's torchrun + init_process_group,
+    # train.py:145): one dimsum process per host, a single global mesh.
+    # On TPU pods leave --num-processes unset (auto-detected); on CPU/GPU
+    # pass all three explicitly per process.
+    p.add_argument("--num-processes", type=int, default=1,
+                   help="number of hosts/processes (multi-host training); "
+                        "1 = single process driving all local chips")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="this process's rank in [0, --num-processes)")
+    p.add_argument("--coordinator", type=str, default="localhost:29512",
+                   help="coordinator address host:port for "
+                        "jax.distributed.initialize")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel ways: shard params over a 'model' "
                         "mesh axis via GSPMD (TPU extension; the reference "
@@ -57,9 +69,17 @@ def parse_args(argv=None):
                         "per-chip batches that exceed memory")
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--max-grad-norm", type=float, default=2.0)
-    p.add_argument("--no-lr-decay", action="store_true", default=False)
-    p.add_argument("--min-lr", type=float, default=1e-6)
-    p.add_argument("--warmup-epochs", type=int, default=5)
+    # reference-faithful dead flags: the reference defines these and an
+    # adjust_learning_rate helper but never calls it (the call is commented
+    # out at reference train.py:303), so training runs at constant lr.  The
+    # schedule itself is available as parallel.warmup_cosine_schedule.
+    p.add_argument("--no-lr-decay", action="store_true", default=False,
+                   help="(reference-faithful no-op: lr is constant either "
+                        "way, see reference train.py:117-130,303)")
+    p.add_argument("--min-lr", type=float, default=1e-6,
+                   help="(reference-faithful no-op, see --no-lr-decay)")
+    p.add_argument("--warmup-epochs", type=int, default=5,
+                   help="(reference-faithful no-op, see --no-lr-decay)")
     # eval group (in-training FID)
     p.add_argument("--eval-every", type=int, default=100)
     p.add_argument("--eval-refdir", type=str, default=None)
@@ -83,21 +103,34 @@ def main():
     from dimsum_tpu.data import Loader, device_put_sharded_batch, get_dataset
     from dimsum_tpu.models.factory import create_model
     from dimsum_tpu.parallel import (
-        create_optimizer, create_train_state, make_mesh, make_train_step,
+        create_optimizer, create_train_state, host_local_to_global,
+        init_distributed, make_mesh, make_train_step, replicate_to_mesh,
     )
     from dimsum_tpu.utils.ckpt import (
         load_torch_checkpoint, restore_checkpoint, save_checkpoint,
     )
 
+    # multi-host rendezvous before any device query (reference train.py:145)
+    init_distributed(args.coordinator, args.num_processes, args.process_id)
+    proc_id, n_proc = jax.process_index(), jax.process_count()
+    is_main = proc_id == 0
+
     exp_dir = os.path.join(args.results_dir, args.exp)
     os.makedirs(exp_dir, exist_ok=True)
+    # rank-0 writes the log file; other ranks log warnings to stderr only
+    # (reference create_logger, train.py:82-97)
     logging.basicConfig(
-        level=logging.INFO,
+        level=logging.INFO if is_main else logging.WARNING,
         format="[%(asctime)s] %(message)s",
-        handlers=[logging.StreamHandler(),
-                  logging.FileHandler(os.path.join(exp_dir, "log.txt"))])
+        handlers=[logging.StreamHandler()] + (
+            [logging.FileHandler(os.path.join(exp_dir, "log.txt"))]
+            if is_main else []))
     logger = logging.getLogger("dimsum")
     logger.info(f"args: {vars(args)}")
+    if n_proc > 1:
+        logger.info(f"multi-host: process {proc_id}/{n_proc}, "
+                    f"{jax.local_device_count()} local / "
+                    f"{jax.device_count()} global devices")
 
     if args.label_dropout < 0:
         args.label_dropout = 0.1 if args.num_classes > 1 else 0.0
@@ -106,6 +139,9 @@ def main():
     n_dev = len(jax.devices())
     assert n_dev % args.tp == 0, f"--tp {args.tp} does not divide {n_dev}"
     use_tp = args.tp > 1
+    assert not (use_tp and n_proc > 1), (
+        "--tp with --num-processes > 1 is not wired (the reference is "
+        "DP-only across hosts; use TP within one host)")
     if use_tp:
         # GSPMD (data, model) mesh: params sharded by tp_param_specs, batch
         # over 'data', XLA inserts the collectives.  The jitted step itself
@@ -122,8 +158,12 @@ def main():
 
     dataset = get_dataset(args)
     use_latent = "latent" in args.dataset
-    loader = Loader(dataset, args.global_batch_size, shuffle=True,
-                    seed=args.global_seed, num_workers=args.num_workers)
+    # each process loads only its stripe (the reference's DistributedSampler
+    # contract, train.py:259); batches are its slice of the global batch
+    assert args.global_batch_size % n_proc == 0
+    loader = Loader(dataset, args.global_batch_size // n_proc, shuffle=True,
+                    seed=args.global_seed, num_workers=args.num_workers,
+                    shard_id=proc_id, num_shards=n_proc)
     logger.info(f"dataset: {len(dataset)} samples, "
                 f"{len(loader)} steps/epoch, devices: {n_dev}")
 
@@ -155,6 +195,11 @@ def main():
 
         params = jax.device_put(params, tp_shardings(mesh, params))
         logger.info(f"tensor-parallel: params sharded over model={args.tp}")
+    if n_proc > 1:
+        # every process computed identical params from the same seed; place
+        # them as globally-replicated arrays so the sharded step sees one
+        # logical copy (DDP's broadcast-at-wrap equivalent)
+        params = replicate_to_mesh(params, mesh)
     state = create_train_state(params, optimizer)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     logger.info(f"model params: {n_params / 1e6:.1f}M")
@@ -186,7 +231,7 @@ def main():
     n_data_shards = (mesh.shape["data"] if (mesh is not None and not use_tp)
                      else 0)
 
-    running_loss, log_steps, start_time = 0.0, 0, time.time()
+    window_losses, log_steps, start_time = [], 0, time.time()
     for epoch in range(init_epoch, args.epochs + 1):
         loader.set_epoch(epoch)
         logger.info(f"beginning epoch {epoch}")
@@ -198,32 +243,47 @@ def main():
                 x_dev = encode(x_dev, k)
             rng, k = jax.random.split(rng)
             if n_data_shards:
+                # same key sequence on every process (same seed); each
+                # contributes its local shards' rows of the key array
                 k = jax.random.split(k, n_data_shards)
+                if n_proc > 1:
+                    from jax.sharding import PartitionSpec as P
+
+                    local = n_data_shards // n_proc
+                    k = host_local_to_global(
+                        mesh, P("data"),
+                        np.asarray(k)[proc_id * local:(proc_id + 1) * local])
             state, metrics = train_step(state, x_dev, y_dev, k)
+            # device scalar, kept async: no per-step host sync
+            window_losses.append(metrics["loss"])
             train_steps += 1
             log_steps += 1
             if train_steps % args.log_every == 0:
-                loss = float(metrics["loss"])  # syncs
-                running_loss += loss
+                # one transfer for the whole window (reference averages its
+                # running_loss over the log window, train.py:326-342)
+                avg_loss = float(jnp.stack(window_losses).mean())
                 rate = log_steps / (time.time() - start_time)
                 logger.info(
-                    f"(step={train_steps:07d}) loss={loss:.4f} "
+                    f"(step={train_steps:07d}) loss={avg_loss:.4f} "
                     f"grad_norm={float(metrics['grad_norm']):.3f} "
                     f"steps/sec={rate:.2f}")
-                running_loss, log_steps = 0.0, 0
+                window_losses, log_steps = [], 0
                 start_time = time.time()
 
-        if epoch % args.save_content_every == 0 and epoch > 0:
+        # collective-safe in multi-host: every process calls save (orbax
+        # coordinates; replicated arrays are written once), while plots and
+        # eval are rank-0-only host-side work over a numpy EMA snapshot
+        if epoch % args.save_content_every == 0:
             save_checkpoint(content_dir, state, step=train_steps, keep=2)
             logger.info(f"saved content checkpoint at step {train_steps}")
         if epoch % args.ckpt_every == 0 and epoch > 0:
             save_checkpoint(os.path.join(exp_dir, "checkpoints"), state,
                             step=train_steps, keep=10)
             logger.info(f"saved snapshot at step {train_steps}")
-        if epoch % args.plot_every == 0 and vae is not None:
+        if epoch % args.plot_every == 0 and vae is not None and is_main:
             _plot_samples(args, model, state, transport, vae, vae_params,
                           exp_dir, epoch, cfg)
-        if (args.eval_refdir and vae is not None
+        if (args.eval_refdir and vae is not None and is_main
                 and epoch % args.eval_every == 0 and epoch > 0):
             _in_training_fid(args, model, state, transport, vae, vae_params,
                              exp_dir, cfg, logger)
@@ -241,6 +301,8 @@ def _in_training_fid(args, model, state, transport, vae, vae_params,
     from dimsum_tpu.eval import calc_metric, report_metric, latents_to_uint8
     from dimsum_tpu.transport import Sampler
 
+    # host snapshot: rank-0-only jit must not span non-addressable devices
+    ema_params = jax.tree.map(np.asarray, state.ema_params)
     sampler = Sampler(transport)
     fn = sampler.sample_ode(sampling_method="euler", num_steps=50)
 
@@ -262,7 +324,7 @@ def _in_training_fid(args, model, state, transport, vae, vae_params,
                                        cfg.img_resolution,
                                        cfg.img_resolution))
             y = jax.random.randint(ky, (bs,), 0, max(args.num_classes, 1))
-            imgs = np.asarray(gen(state.ema_params, z, y))
+            imgs = np.asarray(gen(ema_params, z, y))
             n += bs
             yield latents_to_uint8(imgs)
 
@@ -288,6 +350,7 @@ def _plot_samples(args, model, state, transport, vae, vae_params, exp_dir,
 
     from dimsum_tpu.transport import Sampler
 
+    ema_params = jax.tree.map(np.asarray, state.ema_params)
     sampler = Sampler(transport)
     fn = sampler.sample_ode(sampling_method="euler", num_steps=50)
     n = min(args.eval_bs * 4, 16)
@@ -304,7 +367,7 @@ def _plot_samples(args, model, state, transport, vae, vae_params, exp_dir,
         lat = fn(z, model_fn, y=y)
         return vae.apply(vae_params, lat, method=vae.decode)
 
-    imgs = np.asarray(run(state.ema_params, z, y))
+    imgs = np.asarray(run(ema_params, z, y))
     imgs = np.clip((imgs + 1) / 2 * 255, 0, 255).astype(np.uint8)
     side = int(np.ceil(np.sqrt(n)))
     H, W = imgs.shape[2], imgs.shape[3]
