@@ -88,6 +88,17 @@ def gen_feature_stats(gen_batches: Iterable[np.ndarray], detector,
     return batched_features(gen_batches, detector, stats)
 
 
+def _gen_stats(opts, n: Optional[int], capture_all: bool = False):
+    """Generated-image feature stats: reuse a caller-provided shared
+    FeatureStats (opts["gen_stats"], one detector pass for several metrics
+    -- the streaming sample_ddp path) or run the generator."""
+    gs = opts.get("gen_stats")
+    if gs is not None and (not capture_all or gs.capture_all):
+        return gs
+    return gen_feature_stats(opts["gen_batches"](), opts["detector"],
+                             max_items=n, capture_all=capture_all)
+
+
 @register_metric
 def fid50k_full(opts):
     return {"fid50k_full": _fid(opts, 50_000)}
@@ -116,8 +127,7 @@ def kid50k_full(opts):
                                  cache_dir=opts.get("cache_dir"),
                                  dataset_id=opts.get("dataset_id", ""),
                                  detector_id=opts.get("detector_id", ""))
-    gen = gen_feature_stats(opts["gen_batches"](), opts["detector"],
-                            max_items=50_000, capture_all=True)
+    gen = _gen_stats(opts, 50_000, capture_all=True)
     return {"kid50k_full": compute_kid(real.get_all(), gen.get_all())}
 
 
@@ -129,16 +139,14 @@ def pr50k3_full(opts):
                                  cache_dir=opts.get("cache_dir"),
                                  dataset_id=opts.get("dataset_id", ""),
                                  detector_id=opts.get("detector_id", ""))
-    gen = gen_feature_stats(opts["gen_batches"](), opts["detector"],
-                            max_items=50_000, capture_all=True)
+    gen = _gen_stats(opts, 50_000, capture_all=True)
     p, r = compute_precision_recall(real.get_all(), gen.get_all())
     return {"pr50k3_full_precision": p, "pr50k3_full_recall": r}
 
 
 @register_metric
 def is50k(opts):
-    gen = gen_feature_stats(opts["gen_batches"](), opts["detector"],
-                            max_items=50_000, capture_all=True)
+    gen = _gen_stats(opts, 50_000, capture_all=True)
     logits = gen.get_all()
     # detector returns logits (the reference runs the Inception net with
     # no_output_bias=True and softmaxes, inception_score.py); normalize here
@@ -186,8 +194,7 @@ def _fid(opts, n: int) -> float:
                                  cache_dir=opts.get("cache_dir"),
                                  dataset_id=opts.get("dataset_id", ""),
                                  detector_id=opts.get("detector_id", ""))
-    gen = gen_feature_stats(opts["gen_batches"](), opts["detector"],
-                            max_items=n)
+    gen = _gen_stats(opts, n)
     return compute_fid(real, gen)
 
 
@@ -196,6 +203,8 @@ def calc_metric(metric: str, **opts) -> Dict:
       real_dataset: map-style dataset of uint8 NCHW images
       gen_batches:  zero-arg callable yielding uint8 NCHW batches
       detector:     callable uint8 NCHW -> (B, F) features
+      gen_stats:    optional precomputed generated-image FeatureStats
+                    (shared across metrics; gen_batches then unused)
       cache_dir / dataset_id / detector_id / batch_size
     """
     assert is_valid_metric(metric), f"unknown metric {metric}"
@@ -203,6 +212,24 @@ def calc_metric(metric: str, **opts) -> Dict:
     results = _metric_dict[metric](opts)
     return dict(metric=metric, results=results,
                 total_time=time.time() - t0)
+
+
+def calc_metrics_many(metrics, **opts):
+    """Run several metrics over ONE generator/detector pass: the generated
+    images stream through the detector once into a shared FeatureStats
+    (capture_all when any metric needs raw features), then each metric
+    reuses it.  This is sample_ddp's streaming eval -- the 50k samples
+    never round-trip through PNG files (VERDICT r3 item 5; the reference
+    re-reads the sample folder per metric, sample_ddp.py:195-229)."""
+    metrics = [m.strip() for m in metrics if m.strip()]
+    for m in metrics:
+        assert is_valid_metric(m), f"unknown metric {m}"
+    need_all = any(not m.startswith("fid") for m in metrics)
+    if "gen_stats" not in opts and opts.get("gen_batches") is not None:
+        opts["gen_stats"] = gen_feature_stats(
+            opts["gen_batches"](), opts["detector"],
+            max_items=opts.get("max_gen_items"), capture_all=need_all)
+    return [calc_metric(m, **opts) for m in metrics]
 
 
 def report_metric(result: Dict, run_dir: Optional[str] = None):

@@ -54,6 +54,20 @@ def parse_args(argv=None):
     p.add_argument("--eval-refdir", type=str, default=None)
     p.add_argument("--eval-metric", type=str, default="fid50k_full",
                    help="comma-separated registered metrics")
+    p.add_argument("--eval-streaming", action="store_true",
+                   help="stream generated batches straight into the "
+                        "detector (one pass, shared feature stats across "
+                        "metrics) instead of the PNG round-trip; add "
+                        "--save-images to also keep the files")
+    p.add_argument("--save-images", action="store_true",
+                   help="with --eval-streaming: also write the PNGs")
+    # multi-host (the reference's torchrun rank-strided generation,
+    # sample_ddp.py:61,159-191): each process generates its own contiguous
+    # slice of the 50k on its local chips with the reference's per-rank
+    # seed, then rank 0 computes the metrics over the shared folder
+    p.add_argument("--num-processes", type=int, default=1)
+    p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--coordinator", type=str, default="localhost:29513")
     p.add_argument("--eval-detector", type=str, default=None,
                    help='detector spec: TorchScript .pt path (bit-parity, host CPU), "jax:<pth>" = flax InceptionV3 with converted torch weights (runs on TPU), "jax-random" = flax InceptionV3 with random params (relative trends, no weights needed), default random-projection (smoke only)')
     args = p.parse_args(argv)
@@ -72,8 +86,15 @@ def main():
 
     from dimsum_tpu.models.factory import create_model
     from dimsum_tpu.models.dim import forward_with_cfg
-    from dimsum_tpu.parallel import make_mesh
+    from dimsum_tpu.parallel import init_distributed, make_mesh
     from dimsum_tpu.transport import Sampler
+
+    # multi-host: like the reference's per-GPU ranks (sample_ddp.py:61),
+    # each process is an INDEPENDENT generator over its local chips (no
+    # cross-host collectives during sampling); rank 0 evaluates at the end
+    init_distributed(args.coordinator, args.num_processes, args.process_id)
+    proc_id, n_proc = jax.process_index(), jax.process_count()
+    is_main = proc_id == 0
 
     if args.label_dropout < 0:
         args.label_dropout = 0.1 if args.num_classes > 1 else 0.0
@@ -82,13 +103,16 @@ def main():
     transport = build_transport(args)
     sampler = Sampler(transport)
 
-    n_dev = len(jax.devices())
+    local_devices = jax.local_devices()
+    n_dev = len(local_devices)
     assert n_dev % args.tp == 0, f"--tp {args.tp} does not divide {n_dev}"
     use_tp = args.tp > 1
     if use_tp:
-        mesh = make_mesh(data=n_dev // args.tp, model=args.tp)
+        mesh = make_mesh(data=n_dev // args.tp, model=args.tp,
+                         devices=local_devices)
     else:
-        mesh = make_mesh(data=n_dev, model=1) if n_dev > 1 else None
+        mesh = (make_mesh(data=n_dev, model=1, devices=local_devices)
+                if n_dev > 1 else None)
     per_chip = args.per_proc_batch_size
     data_ways = n_dev // args.tp
     global_batch = per_chip * max(data_ways, 1)
@@ -162,55 +186,125 @@ def main():
 
     os.makedirs(args.sample_dir, exist_ok=True)
     latent = cfg.img_resolution
-    total = 0
-    all_latents = []
-    iters = -(-args.num_fid_samples // global_batch)
-    rng = jax.random.PRNGKey(args.global_seed)
+    # per-process slice: contiguous blocks, reference per-rank seed
+    # (sample_ddp.py:64: seed = global_seed * world_size + rank)
+    proc_samples = -(-args.num_fid_samples // n_proc)
+    sample_offset = proc_id * proc_samples
+    proc_samples = min(proc_samples, args.num_fid_samples - sample_offset)
+    iters = -(-proc_samples // global_batch)
+    rng = jax.random.PRNGKey(args.global_seed * n_proc + proc_id)
+    timers = {"generate": 0.0, "decode": 0.0, "write": 0.0}
     t_start = time.time()
-    for it in range(iters):
-        rng, kz, ky, ks = jax.random.split(rng, 4)
-        z = jax.random.normal(kz, (global_batch, cfg.in_channels, latent,
-                                   latent))
-        if args.use_even_classes and num_real_classes > 0:
-            y = (jnp.arange(global_batch)
-                 + it * global_batch) % num_real_classes
-        else:
-            y = jax.random.randint(ky, (global_batch,), 0,
-                                   max(num_real_classes, 1))
-        y = y.astype(jnp.int32)
-        out = run(params, z, y, ks)
-        if decode is not None:
-            from PIL import Image
+    save_images = not args.eval_streaming or args.save_images
 
-            imgs = np.asarray(decode(out))
-            imgs = np.clip((imgs + 1) * 127.5, 0, 255).astype(np.uint8)
-            for i, im in enumerate(imgs):
-                if total + i >= args.num_fid_samples:
-                    break
-                Image.fromarray(im.transpose(1, 2, 0)).save(os.path.join(
-                    args.sample_dir,
-                    f"{total + i:06d}.{args.image_ext}"))
-        else:
-            all_latents.append(np.asarray(out))
-        total += global_batch
-        if it % 10 == 0:
-            rate = min(total, args.num_fid_samples) / (time.time() - t_start)
-            print(f"[{it+1}/{iters}] {total} samples ({rate:.2f} img/s)",
-                  file=sys.stderr)
+    def uint8_batches():
+        """Generate, decode and (optionally) persist; yields uint8 NCHW."""
+        nonlocal_rng = rng
+        total = 0
+        for it in range(iters):
+            nonlocal_rng, kz, ky, ks = jax.random.split(nonlocal_rng, 4)
+            z = jax.random.normal(kz, (global_batch, cfg.in_channels,
+                                       latent, latent))
+            if args.use_even_classes and num_real_classes > 0:
+                y = (jnp.arange(global_batch) + sample_offset
+                     + it * global_batch) % num_real_classes
+            else:
+                y = jax.random.randint(ky, (global_batch,), 0,
+                                       max(num_real_classes, 1))
+            y = y.astype(jnp.int32)
+            t0 = time.time()
+            out = jax.block_until_ready(run(params, z, y, ks))
+            timers["generate"] += time.time() - t0
+            if decode is None:
+                yield np.asarray(out)
+            else:
+                t0 = time.time()
+                imgs = np.asarray(jax.block_until_ready(decode(out)))
+                timers["decode"] += time.time() - t0
+                imgs = np.clip((imgs + 1) * 127.5, 0, 255).astype(np.uint8)
+                if save_images:
+                    from PIL import Image
 
-    if decode is None:
-        lat = np.concatenate(all_latents)[: args.num_fid_samples]
-        np.savez(os.path.join(args.sample_dir, "latents.npz"), latents=lat)
-        print(f"wrote latents for {len(lat)} samples (no --vae-ckpt; "
-              "metrics over pixels unavailable)", file=sys.stderr)
-        return
+                    t0 = time.time()
+                    for i, im in enumerate(imgs):
+                        idx = sample_offset + total + i
+                        if total + i >= proc_samples:
+                            break
+                        Image.fromarray(im.transpose(1, 2, 0)).save(
+                            os.path.join(args.sample_dir,
+                                         f"{idx:06d}.{args.image_ext}"))
+                    timers["write"] += time.time() - t0
+                yield imgs[: proc_samples - total]
+            total += global_batch
+            if it % 10 == 0:
+                rate = min(total, proc_samples) / (time.time() - t_start)
+                print(f"[proc {proc_id}] [{it+1}/{iters}] {total} samples "
+                      f"({rate:.2f} img/s)", file=sys.stderr)
 
+    def _barrier():
+        if n_proc > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("sample_ddp_done")
+
+    eval_opts = {}
     if args.eval_refdir:
-        from dimsum_tpu.data import ImageFolderDataset
-        from dimsum_tpu.eval import calc_metric, report_metric
         from dimsum_tpu.eval.features import detector_id, make_detector
 
-        detector = make_detector(args.eval_detector)
+        eval_opts = dict(
+            detector=make_detector(args.eval_detector),
+            cache_dir=os.path.join(args.sample_dir, "..", "stats-cache"),
+            dataset_id=args.eval_refdir,
+            detector_id=detector_id(args.eval_detector))
+
+    if decode is None:
+        lat = np.concatenate(list(uint8_batches()))[:proc_samples]
+        suffix = f"_rank{proc_id}" if n_proc > 1 else ""
+        np.savez(os.path.join(args.sample_dir, f"latents{suffix}.npz"),
+                 latents=lat)
+        print(f"wrote latents for {len(lat)} samples (no --vae-ckpt; "
+              "metrics over pixels unavailable)", file=sys.stderr)
+        _barrier()
+        return
+
+    if args.eval_streaming and args.eval_refdir:
+        # ONE pass: images stream through the detector as they are
+        # generated; feature stats shared across the requested metrics
+        # (kills the PNG round-trip the reference does, sample_ddp:195-229)
+        assert n_proc == 1, (
+            "--eval-streaming is single-process (multi-host uses the "
+            "folder path: per-rank PNGs + rank-0 metrics)")
+        from dimsum_tpu.data import ImageFolderDataset
+        from dimsum_tpu.eval import calc_metrics_many, report_metric
+
+        real = ImageFolderDataset(args.eval_refdir, cfg.img_resolution * 8,
+                                  raw_uint8=True)
+        t0 = time.time()
+        results = calc_metrics_many(
+            args.eval_metric.split(","), real_dataset=real,
+            gen_batches=uint8_batches, max_gen_items=args.num_fid_samples,
+            **eval_opts)
+        t_eval = time.time() - t0
+        for result in results:
+            report_metric(result, run_dir=args.sample_dir)
+        t_feat = (t_eval - timers["generate"] - timers["decode"]
+                  - timers["write"])
+        print(f"wall-clock split: generate {timers['generate']:.1f}s, "
+              f"decode {timers['decode']:.1f}s, "
+              f"features+metrics {t_feat:.1f}s, "
+              f"write {timers['write']:.1f}s", file=sys.stderr)
+        return
+
+    # disk path (reference behavior): drain the generator (writes PNGs),
+    # then rank 0 evaluates over the folder
+    for _ in uint8_batches():
+        pass
+    _barrier()
+
+    if args.eval_refdir and is_main:
+        from dimsum_tpu.data import ImageFolderDataset
+        from dimsum_tpu.eval import calc_metric, report_metric
+
         real = ImageFolderDataset(args.eval_refdir, cfg.img_resolution * 8,
                                   raw_uint8=True)
         gen = ImageFolderDataset(args.sample_dir, cfg.img_resolution * 8,
@@ -224,11 +318,9 @@ def main():
         for metric in args.eval_metric.split(","):
             result = calc_metric(
                 metric.strip(), real_dataset=real, gen_batches=gen_batches,
-                detector=detector, cache_dir=os.path.join(
-                    args.sample_dir, "..", "stats-cache"),
-                dataset_id=args.eval_refdir,
-                detector_id=detector_id(args.eval_detector))
+                **eval_opts)
             report_metric(result, run_dir=args.sample_dir)
+    _barrier()
 
 
 if __name__ == "__main__":

@@ -115,6 +115,45 @@ def test_sample_pp_cli_matches_pp1(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.slow
+def test_sample_ddp_streaming_cli(tmp_path):
+    """sample_ddp.py --eval-streaming: generated batches stream straight
+    into the detector (fid+kid+pr over ONE generator/detector pass, no PNG
+    round-trip) -- the r4 50k-pipeline mode.  Asserts all three metrics
+    report finite values and that no image files were written."""
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    real = tmp_path / "real"
+    real.mkdir()
+    for i in range(16):
+        arr = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(real / f"{i:03d}.png")
+
+    out = tmp_path / "gen"
+    _run(["sample_ddp.py", "ODE", "--model", "DiM-S/2",
+          "--image-size", "64", "--num-classes", "4",
+          "--block-type", "combined", "--bimamba-type", "none",
+          "--cond-mamba", "--rms-norm", "--learnable-pe",
+          "--use-attn-every-k-layers", "2",
+          "--sampling-method", "euler", "--num-sampling-steps", "2",
+          "--per-proc-batch-size", "4", "--num-fid-samples", "8",
+          "--vae-ckpt", "random", "--sample-dir", str(out),
+          "--eval-refdir", str(real), "--eval-streaming",
+          "--eval-metric", "fid2k_full,kid50k_full,pr50k3_full"], REPO)
+    pngs = list(out.glob("*.png"))
+    assert not pngs, f"streaming mode wrote images: {pngs[:3]}"
+    for metric, keys in [("fid2k_full", ["fid2k_full"]),
+                         ("kid50k_full", ["kid50k_full"]),
+                         ("pr50k3_full", ["pr50k3_full_precision",
+                                          "pr50k3_full_recall"])]:
+        report = out / f"metric-{metric}.jsonl"
+        assert report.exists(), f"missing {report}"
+        rec = json.loads(report.read_text().strip().splitlines()[-1])
+        for k in keys:
+            assert np.isfinite(rec["results"][k]), (metric, rec)
+
+
 def test_calc_metrics_cli(tmp_path):
     """calc_metrics.py over two tiny PNG folders with the random-projection
     smoke detector: flag parsing, folder datasets, registry dispatch, and
