@@ -52,6 +52,11 @@ def add_model_args(p: argparse.ArgumentParser):
                    choices=[None, "ref", "xla", "pallas"])
     p.add_argument("--grad-checkpoint", action="store_true",
                    help="remat each block (memory for FLOPs)")
+    p.add_argument("--remat-policy", type=str, default=None,
+                   choices=[None, "none", "dots", "scan", "dots_scan"],
+                   help="with --grad-checkpoint: what remat keeps resident "
+                        "instead of recomputing (matmul outputs / scan "
+                        "kernel outputs / both)")
 
 
 def add_moe_args(p: argparse.ArgumentParser):

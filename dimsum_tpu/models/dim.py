@@ -90,6 +90,11 @@ class DiMConfig:
     scan_impl: Optional[str] = None
     grad_checkpoint: bool = False  # remat each block (reference DiT's
     #                                set_gradient_checkpointing equivalent)
+    remat_policy: Optional[str] = None  # what remat SAVES instead of
+    #   recomputing: None="nothing" (classic full remat), "dots"=every
+    #   matmul output, "scan"=the selective-scan kernel outputs (tagged
+    #   checkpoint_name "scan_out"), "dots_scan"=both.  Trades HBM for
+    #   skipping the expensive recomputes in the backward replay.
     seq_axis: Optional[str] = None  # TPU extension: sequence parallelism --
     seq_mesh: Any = None            # every mixer runs its halo conv + two-
     #                                 pass scan in a shard_map island over
@@ -124,6 +129,27 @@ class DiMConfig:
     @property
     def num_patches(self) -> int:
         return self.grid_size ** 2
+
+
+def _remat_policy(name: Optional[str]):
+    """Map DiMConfig.remat_policy to a jax.checkpoint policy.
+
+    None: save nothing (classic full remat).  "dots": keep every matmul
+    output resident so the backward replay skips the MXU work.  "scan":
+    keep the selective-scan kernel outputs (tagged "scan_out" in
+    models/mamba.py) so the replay skips the Pallas scans.  "dots_scan":
+    both."""
+    if name in (None, "", "none"):
+        return None
+    cp = jax.checkpoint_policies
+    if name == "dots":
+        return cp.dots_saveable
+    if name == "scan":
+        return cp.save_only_these_names("scan_out")
+    if name == "dots_scan":
+        return cp.save_from_both_policies(
+            cp.dots_saveable, cp.save_only_these_names("scan_out"))
+    raise ValueError(f"unknown remat_policy {name!r}")
 
 
 def _gen_paths(grid_size: int, scan_type: str, depth: int):
@@ -306,7 +332,8 @@ class DiM(nn.Module):
                                      defer_tail=pmode > 0)
             if cfg.grad_checkpoint:
                 x, residual = nn.remat(
-                    lambda mdl, *a: mdl(*a, train=train))(
+                    lambda mdl, *a: mdl(*a, train=train),
+                    policy=_remat_policy(cfg.remat_policy))(
                     block, x, residual, c)
             elif pmode > 0 and isinstance(block, DiMBlockCombined):
                 x, residual, new_pending = block(

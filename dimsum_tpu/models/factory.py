@@ -48,6 +48,7 @@ def create_model(args: Any, ep_mesh: Any = None) -> Tuple[Any, Any]:
             use_gated_mlp=not args.not_use_gated_mlp,
             dtype=dtype,
             grad_checkpoint=getattr(args, "grad_checkpoint", False),
+            remat_policy=getattr(args, "remat_policy", None),
         )
         return DiM(cfg), cfg
     elif "DiT" in args.model:

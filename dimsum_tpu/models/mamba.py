@@ -193,6 +193,10 @@ class Mamba(nn.Module):
         D = self.param(f"D{suffix}", nn.initializers.ones, (d_inner,))
         A = -jnp.exp(A_log.astype(jnp.float32))
 
+        # remat tag: DiMConfig(remat_policy="scan"/"dots_scan") keeps these
+        # outputs resident so the backward replay skips the scan kernels
+        from jax.ad_checkpoint import checkpoint_name as _tag
+
         h0 = None
         if cond_emb is not None and self.use_cond_init:
             # opt-in extension: seed the scan state with the projected cond
@@ -205,11 +209,11 @@ class Mamba(nn.Module):
                     "use_cond_init h0 seeding is not supported with "
                     "seq_axis (sequence parallelism): h0 must enter on "
                     "shard 0 only and be carried across shards")
-            return selective_scan_xla(
+            return _tag(selective_scan_xla(
                 x_conv, jnp.einsum("blr,rd->bld", dt_low, dt_w),
                 A, Bm, Cm, D, z=z, delta_bias=dt_bias,
                 delta_softplus=True, h0=h0,
-            )
+            ), "scan_out")
         if self.seq_axis is not None:
             dt = jnp.einsum("blr,rd->bld", dt_low, dt_w)
         if self.seq_axis is not None and self.seq_mesh is not None:
@@ -217,7 +221,7 @@ class Mamba(nn.Module):
             from jax.sharding import PartitionSpec as P
 
             sharded = P(None, self.seq_axis, None)
-            return shard_map(
+            return _tag(shard_map(
                 lambda u_, dt_, A_, B_, C_, D_, z_, bias_:
                 selective_scan_seq_parallel(
                     u_, dt_, A_, B_, C_, D_, z=z_, delta_bias=bias_,
@@ -227,17 +231,17 @@ class Mamba(nn.Module):
                 in_specs=(sharded, sharded, P(), sharded, sharded, P(),
                           sharded, P()),
                 out_specs=sharded, check_vma=False,
-            )(x_conv, dt, A, Bm, Cm, D, z, dt_bias)
+            )(x_conv, dt, A, Bm, Cm, D, z, dt_bias), "scan_out")
         if self.seq_axis is not None:
-            return selective_scan_seq_parallel(
+            return _tag(selective_scan_seq_parallel(
                 x_conv, dt, A, Bm, Cm, D, z=z, delta_bias=dt_bias,
                 delta_softplus=True, axis_name=self.seq_axis,
                 impl=self.scan_impl,
-            )
-        return selective_scan_dtlow(
+            ), "scan_out")
+        return _tag(selective_scan_dtlow(
             x_conv, dt_low, dt_w, A, Bm, Cm, D, z=z, delta_bias=dt_bias,
             delta_softplus=True, impl=self.scan_impl, reverse=reverse,
-        )
+        ), "scan_out")
 
     @nn.compact
     def __call__(self, x, cond_emb=None):
