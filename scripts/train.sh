@@ -25,6 +25,10 @@ python train.py \
     --vae-ckpt weights/sd-vae-ft-ema.bin
 
 ### ImageNet-1k 256 (class-cond, precomputed latents)
+# --grad-accum 8: the reference's global batch 704 on 8 chips is 88/chip,
+# above the validated <=48 and 7x the measured throughput knee of 12
+# (BENCH.md); 8 microbatches of 11/chip run at the knee and are exactly
+# equal to the monolithic batch (tests/test_parallel.py grad-accum oracles).
 # python train.py \
 #     --exp dimsum_imagenet256 \
 #     --model DiM-L/2 \
@@ -32,6 +36,7 @@ python train.py \
 #     --dataset latent_memmap_imagenet \
 #     --num-classes 1000 \
 #     --global-batch-size 704 \
+#     --grad-accum 8 \
 #     --image-size 256 \
 #     --epochs 500 \
 #     --path-type GVP \

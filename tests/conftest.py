@@ -44,6 +44,7 @@ SLOW_TESTS = (
     "test_reference_parity_variants",
     "test_mesh_and_train_step_8dev",
     "test_dp_matches_single_device_gradients",
+    "test_dp_grad_accum_composes",
     "test_gspmd_tp_matches_dp_and_single_device",
     "test_dim_moe_ep_forward",
     "test_bwd_matches_autodiff",

@@ -177,6 +177,47 @@ def test_grad_accum_matches_sequential_replay():
                                    atol=2e-6, rtol=1e-5)
 
 
+def test_dp_grad_accum_composes():
+    """shard_map DP x grad_accum (the flagship global-704 recipe shape:
+    scripts/train.sh runs --grad-accum 8 on an 8-chip data mesh) == the
+    sequential-replay oracle over all (shard, microbatch) slices: shard i's
+    injected key splits into grad_accum microbatch keys, per-shard grads
+    average over microbatches, the psum averages over shards -- the flat
+    replay over all dp*accum slices with the composed keys is identical."""
+    model, cfg = tiny_model()
+    transport = create_transport("GVP", "velocity")
+    dp, accum = 8, 2
+    x = jax.random.normal(jax.random.PRNGKey(0), (16, 4, 8, 8))
+    y = jnp.arange(16) % 10
+    params = model.init(jax.random.PRNGKey(1), x[:1], jnp.zeros((1,)),
+                        y[:1])["params"]
+    opt = create_optimizer(1e-2)
+    keys = jax.random.split(jax.random.PRNGKey(2), dp)
+
+    mesh = make_mesh(data=dp, model=1)
+    step = make_train_step(model, transport, opt, mesh=mesh,
+                           grad_accum=accum)
+    s_c, m_c = step(create_train_state(params, opt), x, y, keys)
+
+    # flat replay: shard-major then microbatch order matches the data
+    # layout (shard i holds x[i*per:(i+1)*per], reshaped (accum, mb))
+    micro_keys = jnp.concatenate(
+        [jax.random.split(keys[i], accum) for i in range(dp)])
+    loss_ref, params_ref, ema_ref = _single_device_oracle(
+        model, transport, opt, params, x, y, micro_keys)
+
+    np.testing.assert_allclose(float(m_c["loss"]), float(loss_ref),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s_c.params),
+                    jax.tree.leaves(params_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-6, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_c.ema_params),
+                    jax.tree.leaves(ema_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-6, rtol=1e-5)
+
+
 def test_gspmd_tp_matches_dp_and_single_device():
     """The GSPMD step gives identical results under three placements:
     unsharded, batch-sharded over 'data', params-sharded over 'model'
