@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--model", type=str, default="DiM-B/2")
     ap.add_argument("--fp32", action="store_true",
                     help="fp32 compute instead of the --bf16 recipe")
+    ap.add_argument("--grad-checkpoint", action="store_true",
+                    help="remat each block (needed for DiM-L/2 at bs>=16)")
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--logdir", type=str, default="/tmp/dimsum_prof_train")
     ap.add_argument("--top", type=int, default=25)
@@ -48,6 +50,7 @@ def main():
         img_resolution=32, num_classes=8, rms_norm=True,
         block_type="combined", cond_mamba=True, learnable_pe=True,
         use_attn_every_k_layers=4, label_dropout=0.15,
+        grad_checkpoint=args.grad_checkpoint,
         dtype=jnp.float32 if args.fp32 else jnp.bfloat16)
     model = DiM(cfg)
     transport = create_transport("GVP", "velocity")

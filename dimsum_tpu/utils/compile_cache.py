@@ -32,9 +32,17 @@ def enable_compile_cache() -> str | None:
         import jax
 
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        # cache every compile (default only caches "long" ones)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        # Keep JAX's default min-compile-time threshold (1 s): the
+        # multi-minute sampler/train compiles are what the cache is for, and
+        # a 0 s threshold would accumulate unbounded tiny entries (the dir
+        # has no eviction).
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:  # pragma: no cover - old jax without the knobs
+    except Exception as exc:  # pragma: no cover - old jax / unwritable HOME
+        import warnings
+
+        warnings.warn(
+            f"dimsum_tpu: persistent XLA compile cache disabled ({exc!r}); "
+            "cold compiles will not be reused across processes"
+        )
         return None
     return cache_dir
