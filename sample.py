@@ -42,6 +42,12 @@ def parse_args(argv=None):
     else:
         add_sde_args(p)
     p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--params", type=str, default="ema",
+                   choices=["ema", "raw"],
+                   help="which weights to sample with from an orbax "
+                        "checkpoint: the EMA shadow (reference protocol, "
+                        "sample.py uses state_dict['ema']) or the raw "
+                        "optimizer params (EMA-vs-raw comparisons)")
     p.add_argument("--global-batch-size", type=int, default=32)
     p.add_argument("--num-sampling-steps", type=int, default=250)
     p.add_argument("--cfg-scale", type=float, default=1.0)
@@ -89,11 +95,13 @@ def load_params(args, model, cfg):
             jnp.zeros((1, cfg.in_channels, cfg.img_resolution,
                        cfg.img_resolution)),
             jnp.zeros((1,)), jnp.zeros((1,), jnp.int32))["params"]
+    which = getattr(args, "params", "ema")
     if args.ckpt.endswith((".pt", ".pth", ".bin")):
         from dimsum_tpu.utils.ckpt import load_torch_checkpoint
 
-        return load_torch_checkpoint(args.ckpt, key="ema",
-                                     params_template=template)
+        return load_torch_checkpoint(
+            args.ckpt, key="ema" if which == "ema" else "model",
+            params_template=template)
     # orbax: restore ema params from a native checkpoint dir
     from dimsum_tpu.utils.ckpt import restore_checkpoint
     from dimsum_tpu.parallel import create_optimizer, create_train_state
@@ -103,8 +111,9 @@ def load_params(args, model, cfg):
     state, step = restore_checkpoint(args.ckpt, state_t)
     if state is None:
         raise FileNotFoundError(f"no checkpoint in {args.ckpt}")
-    print(f"restored step {step} from {args.ckpt}", file=sys.stderr)
-    return state.ema_params
+    print(f"restored step {step} from {args.ckpt} ({which} params)",
+          file=sys.stderr)
+    return state.ema_params if which == "ema" else state.params
 
 
 def main():

@@ -39,6 +39,9 @@ def parse_args(argv=None):
     else:
         add_sde_args(p)
     p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--params", type=str, default="ema",
+                   choices=["ema", "raw"],
+                   help="which weights to sample with (see sample.py)")
     p.add_argument("--per-proc-batch-size", type=int, default=64,
                    help="per-chip batch size")
     p.add_argument("--num-fid-samples", type=int, default=50_000)
