@@ -33,9 +33,29 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from dimsum_tpu.ops.causal_conv1d import causal_conv1d, causal_conv1d_halo
+from dimsum_tpu.ops.conv_xproj import conv_xproj, conv_xproj_supported
 from dimsum_tpu.ops.selective_scan import (
     selective_scan, selective_scan_dtlow, selective_scan_xla)
 from dimsum_tpu.ops.selective_scan_sp import selective_scan_seq_parallel
+
+
+class _XProj(nn.Module):
+    """Bias-free projection sharing nn.Dense's param layout (one "kernel"
+    param), so the DIMSUM_CONV_XPROJ=1 fused path leaves the checkpoint
+    tree byte-identical to the nn.Dense it replaces."""
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_in, conv_w, conv_b, reverse: bool):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x_in.shape[-1], self.features))
+        x_conv, x_dbl = conv_xproj(
+            x_in, conv_w,
+            conv_b if conv_b is not None
+            else jnp.zeros((x_in.shape[-1],), jnp.float32),
+            kernel, reverse)
+        return x_conv, x_dbl.astype(self.dtype)
 
 
 def _dt_kernel_init(dt_rank: int, dt_scale: float, dt_init: str):
@@ -141,6 +161,7 @@ class Mamba(nn.Module):
                             (d_inner, self.d_conv))
         conv_b = (self.param(f"conv1d{suffix}_bias", nn.initializers.zeros,
                              (d_inner,)) if self.conv_bias else None)
+        x_dbl = None
         if self.seq_axis is not None and self.seq_mesh is not None:
             # self-contained SP island: the surrounding model is plain
             # GSPMD; only the order-sensitive conv enters manual mode
@@ -163,12 +184,20 @@ class Mamba(nn.Module):
             x_conv = causal_conv1d_halo(x_in, conv_w, conv_b,
                                         activation="silu",
                                         axis_name=self.seq_axis)
+        elif conv_xproj_supported(x_in, np.zeros((1, r + 2 * d_state))):
+            # fused conv+SiLU+x_proj Pallas kernel (DIMSUM_CONV_XPROJ=1):
+            # x_conv round-trips HBM once instead of twice (conv_xproj.py)
+            x_conv, x_dbl = _XProj(r + 2 * d_state, dtype=self.dtype,
+                                   name=f"x_proj{suffix}")(
+                x_in, conv_w, conv_b, reverse)
         else:
             x_conv = causal_conv1d(x_in, conv_w, conv_b, activation="silu",
                                    reverse=reverse)
 
-        x_dbl = nn.Dense(r + 2 * d_state, use_bias=False, dtype=self.dtype,
-                         name=f"x_proj{suffix}")(x_conv)
+        if x_dbl is None:
+            x_dbl = nn.Dense(r + 2 * d_state, use_bias=False,
+                             dtype=self.dtype,
+                             name=f"x_proj{suffix}")(x_conv)
         dt_low, Bm, Cm = jnp.split(x_dbl, [r, r + d_state], axis=-1)
 
         dt_kernel = self.param(
