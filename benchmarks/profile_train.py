@@ -35,6 +35,9 @@ def main():
                     help="fp32 compute instead of the --bf16 recipe")
     ap.add_argument("--grad-checkpoint", action="store_true",
                     help="remat each block (needed for DiM-L/2 at bs>=16)")
+    ap.add_argument("--remat-policy", type=str, default=None,
+                    help="checkpoint policy: scan | dots_scan (see "
+                         "dimsum_tpu/models/dim.py)")
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--logdir", type=str, default="/tmp/dimsum_prof_train")
     ap.add_argument("--top", type=int, default=25)
@@ -51,6 +54,7 @@ def main():
         block_type="combined", cond_mamba=True, learnable_pe=True,
         use_attn_every_k_layers=4, label_dropout=0.15,
         grad_checkpoint=args.grad_checkpoint,
+        remat_policy=args.remat_policy,
         dtype=jnp.float32 if args.fp32 else jnp.bfloat16)
     model = DiM(cfg)
     transport = create_transport("GVP", "velocity")
