@@ -30,6 +30,13 @@ from dimsum_tpu.utils.compile_cache import enable_compile_cache
 enable_compile_cache()
 
 A100_BASELINE_IMG_PER_SEC = 1.0
+# The 1.0 denominator imagines a bf16 A100 port (30% MFU of 312 TF/s over
+# 96 TFLOP/img).  The reference AS SHIPPED samples in fp32+TF32
+# (sample.py:13-14, sample_ddp.py:56 default True; peak 156 TF/s), giving
+# 0.49 img/s at the same 30% MFU -- see BENCH.md "As-shipped protocol
+# correction".  vs_baseline keeps the stricter denominator for cross-round
+# continuity; vs_baseline_as_shipped reports the like-for-like one.
+A100_AS_SHIPPED_IMG_PER_SEC = 0.4875
 
 
 def main():
@@ -134,11 +141,14 @@ def main():
         "value": round(imgs_per_sec, 4),
         "unit": "img/s/chip",
         "vs_baseline": round(imgs_per_sec / baseline, 4),
+        "vs_baseline_as_shipped": round(
+            imgs_per_sec / (baseline * A100_AS_SHIPPED_IMG_PER_SEC), 4),
     }
     if args.image_size != 256:
         # the A100 estimate was derived for the 256 protocol; the 512-res
-        # quote stands alone
+        # per-chip band lives in BENCH.md ("vs_baseline_512")
         del rec["vs_baseline"]
+        del rec["vs_baseline_as_shipped"]
     if nfe is not None:
         rec["metric"] = (f"imagenet{args.image_size}_sampling_throughput"
                          f"_dopri5_cfg")
