@@ -291,28 +291,59 @@ def main():
     logger.info("done")
 
 
+_EVAL_GEN_CACHE = {}
+
+
+def _eval_gen_fn(model, transport, vae, num_steps=50):
+    """One jitted sample->decode program, reused across in-training evals.
+
+    vae params enter as an ARGUMENT: a closure-captured tree would be baked
+    into the executable as 300+ MB of constants, and rebuilding the jit per
+    eval re-traced and re-staged those constants every time -- the r4
+    overfit run leaked host RAM to death this way (oom-kill at 130 GB
+    during the 5th eval)."""
+    import jax
+
+    from dimsum_tpu.transport import Sampler
+
+    key = (model, transport, vae, num_steps)
+    if key not in _EVAL_GEN_CACHE:
+        fn = Sampler(transport).sample_ode(sampling_method="euler",
+                                           num_steps=num_steps)
+
+        @jax.jit
+        def gen(params, vparams, z, y):
+            def mf(x, t, **kw):
+                return model.apply({"params": params}, x, t, **kw)
+
+            lat = fn(z, mf, y=y)
+            return vae.apply(vparams, lat, method=vae.decode)
+
+        _EVAL_GEN_CACHE[key] = gen
+    return _EVAL_GEN_CACHE[key]
+
+
+def _log_rss(logger, tag):
+    try:
+        with open("/proc/self/statm") as f:
+            rss_gb = int(f.read().split()[1]) * 4096 / 2**30
+        logger.info(f"host RSS after {tag}: {rss_gb:.1f} GB")
+    except OSError:
+        pass
+
+
 def _in_training_fid(args, model, state, transport, vae, vae_params,
                      exp_dir, cfg, logger):
     """fid2k-style eval during training (reference train.py:393-482)."""
     import jax
-    import jax.numpy as jnp
+
 
     from dimsum_tpu.data import ImageFolderDataset
     from dimsum_tpu.eval import calc_metric, report_metric, latents_to_uint8
-    from dimsum_tpu.transport import Sampler
 
     # host snapshot: rank-0-only jit must not span non-addressable devices
     ema_params = jax.tree.map(np.asarray, state.ema_params)
-    sampler = Sampler(transport)
-    fn = sampler.sample_ode(sampling_method="euler", num_steps=50)
-
-    @jax.jit
-    def gen(params, z, y):
-        def mf(x, t, **kw):
-            return model.apply({"params": params}, x, t, **kw)
-
-        lat = fn(z, mf, y=y)
-        return vae.apply(vae_params, lat, method=vae.decode)
+    gen = _eval_gen_fn(model, transport, vae)
 
     def gen_batches():
         rng = jax.random.PRNGKey(0)
@@ -324,7 +355,7 @@ def _in_training_fid(args, model, state, transport, vae, vae_params,
                                        cfg.img_resolution,
                                        cfg.img_resolution))
             y = jax.random.randint(ky, (bs,), 0, max(args.num_classes, 1))
-            imgs = np.asarray(gen(ema_params, z, y))
+            imgs = np.asarray(gen(ema_params, vae_params, z, y))
             n += bs
             yield latents_to_uint8(imgs)
 
@@ -340,34 +371,23 @@ def _in_training_fid(args, model, state, transport, vae, vae_params,
         detector_id=detector_id(args.eval_detector))
     report_metric(result, run_dir=exp_dir)
     logger.info(f"in-training eval: {result['results']}")
+    _log_rss(logger, "eval")
 
 
 def _plot_samples(args, model, state, transport, vae, vae_params, exp_dir,
                   epoch, cfg):
     import jax
-    import jax.numpy as jnp
     from PIL import Image
 
-    from dimsum_tpu.transport import Sampler
-
     ema_params = jax.tree.map(np.asarray, state.ema_params)
-    sampler = Sampler(transport)
-    fn = sampler.sample_ode(sampling_method="euler", num_steps=50)
     n = min(args.eval_bs * 4, 16)
     rng = jax.random.PRNGKey(epoch)
     z = jax.random.normal(rng, (n, cfg.in_channels, cfg.img_resolution,
                                 cfg.img_resolution))
     y = jax.random.randint(rng, (n,), 0, max(args.num_classes, 1))
 
-    @jax.jit
-    def run(params, z, y):
-        def model_fn(x, t, **kw):
-            return model.apply({"params": params}, x, t, **kw)
-
-        lat = fn(z, model_fn, y=y)
-        return vae.apply(vae_params, lat, method=vae.decode)
-
-    imgs = np.asarray(run(ema_params, z, y))
+    run = _eval_gen_fn(model, transport, vae)
+    imgs = np.asarray(run(ema_params, vae_params, z, y))
     imgs = np.clip((imgs + 1) / 2 * 255, 0, 255).astype(np.uint8)
     side = int(np.ceil(np.sqrt(n)))
     H, W = imgs.shape[2], imgs.shape[3]
