@@ -5,7 +5,11 @@ Run on TPU:  python benchmarks/conv_xproj_micro.py [--L 256] [--D 2048]
 """
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
