@@ -94,7 +94,9 @@ def main():
     name_cat = {}
     for e in events:
         short = e.get("name", "?")
-        if short.startswith("jit_"):
+        if short.startswith("jit_") or short.isdigit():
+            # numeric names are umbrella spans (per-rep program executions /
+            # remat call regions) that double-count their children
             continue
         name = e.get("args", {}).get("long_name", short)
         dur = e.get("dur", 0) / 1e3 / args.reps
