@@ -184,8 +184,14 @@ def main():
         from dimsum_tpu.models.vae import load_vae
 
         vae, vae_params = load_vae(args.vae_ckpt)
-        decode = jax.jit(lambda z: vae.apply(vae_params, z,
-                                             method=vae.decode))
+
+        @jax.jit
+        def decode(z):
+            # clip/scale/uint8 on device: 4x smaller device->host transfer
+            # and no per-batch host math (measured 379 s of the r4 2k-sample
+            # rehearsal's wall clock before this)
+            img = vae.apply(vae_params, z, method=vae.decode)
+            return jnp.clip((img + 1) * 127.5, 0, 255).astype(jnp.uint8)
 
     os.makedirs(args.sample_dir, exist_ok=True)
     latent = cfg.img_resolution
@@ -224,7 +230,6 @@ def main():
                 t0 = time.time()
                 imgs = np.asarray(jax.block_until_ready(decode(out)))
                 timers["decode"] += time.time() - t0
-                imgs = np.clip((imgs + 1) * 127.5, 0, 255).astype(np.uint8)
                 if save_images:
                     from PIL import Image
 
