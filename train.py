@@ -381,13 +381,21 @@ def _plot_samples(args, model, state, transport, vae, vae_params, exp_dir,
 
     ema_params = jax.tree.map(np.asarray, state.ema_params)
     n = min(args.eval_bs * 4, 16)
+    # chunk generation so the sampler+decode live set scales down at high
+    # res: a single 16-sample batch at 512-res OOMs next to the resident
+    # L/2 train state (observed on one v5e chip); 4-sample chunks fit.
+    chunk = max(1, n // max(1, (args.image_size // 256) ** 2))
+    n = (n // chunk) * chunk
     rng = jax.random.PRNGKey(epoch)
     z = jax.random.normal(rng, (n, cfg.in_channels, cfg.img_resolution,
                                 cfg.img_resolution))
     y = jax.random.randint(rng, (n,), 0, max(args.num_classes, 1))
 
     run = _eval_gen_fn(model, transport, vae)
-    imgs = np.asarray(run(ema_params, vae_params, z, y))
+    imgs = np.concatenate([
+        np.asarray(run(ema_params, vae_params, z[i:i + chunk],
+                       y[i:i + chunk]))
+        for i in range(0, n, chunk)], axis=0)
     imgs = np.clip((imgs + 1) / 2 * 255, 0, 255).astype(np.uint8)
     side = int(np.ceil(np.sqrt(n)))
     H, W = imgs.shape[2], imgs.shape[3]
