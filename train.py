@@ -292,6 +292,41 @@ def main():
 
 
 _EVAL_GEN_CACHE = {}
+_EVAL_DEV_CACHE = {}
+
+
+def _eval_dev_params(tag, params):
+    """Device-resident copy of an eval-time param tree, uploaded ONCE.
+
+    Passing host numpy trees straight into the jitted sampler re-transfers
+    them H2D on EVERY call (jax keeps no committed buffer for np args); on
+    the axon tunnel those per-call staging uploads were the r4 eval leak
+    (~4.2 GB host RSS per eval: 6 gen batches x ~0.7 GB of ema+vae
+    params).  One device_put per (tag, tree identity) caps it."""
+    import jax
+
+    key = (tag, id(params))
+    if key not in _EVAL_DEV_CACHE:
+        # drop stale entries for this tag (e.g. last eval's ema snapshot)
+        for k in [k for k in _EVAL_DEV_CACHE if k[0] == tag]:
+            del _EVAL_DEV_CACHE[k]
+        _EVAL_DEV_CACHE[key] = jax.device_put(params, jax.local_devices()[0])
+    return _EVAL_DEV_CACHE[key]
+
+
+def _eval_ema_params(state):
+    """EMA params on the first local device for rank-0 eval jits.
+
+    Single-process: a device-to-device reshard (no host round trip).
+    Multi-host (globally-sharded, non-addressable): host snapshot first."""
+    import jax
+
+    dev0 = jax.local_devices()[0]
+    try:
+        return jax.device_put(state.ema_params, dev0)
+    except Exception:
+        return jax.device_put(jax.tree.map(np.asarray, state.ema_params),
+                              dev0)
 
 
 def _eval_gen_fn(model, transport, vae, num_steps=50):
@@ -341,8 +376,10 @@ def _in_training_fid(args, model, state, transport, vae, vae_params,
     from dimsum_tpu.data import ImageFolderDataset
     from dimsum_tpu.eval import calc_metric, report_metric, latents_to_uint8
 
-    # host snapshot: rank-0-only jit must not span non-addressable devices
-    ema_params = jax.tree.map(np.asarray, state.ema_params)
+    # rank-0-only jit must not span non-addressable devices: reshard the
+    # EMA tree onto one local device, once per eval (not once per batch)
+    ema_params = _eval_ema_params(state)
+    vparams = _eval_dev_params("vae", vae_params)
     gen = _eval_gen_fn(model, transport, vae)
 
     def gen_batches():
@@ -355,13 +392,17 @@ def _in_training_fid(args, model, state, transport, vae, vae_params,
                                        cfg.img_resolution,
                                        cfg.img_resolution))
             y = jax.random.randint(ky, (bs,), 0, max(args.num_classes, 1))
-            imgs = np.asarray(gen(ema_params, vae_params, z, y))
+            imgs = np.asarray(gen(ema_params, vparams, z, y))
             n += bs
             yield latents_to_uint8(imgs)
 
     from dimsum_tpu.eval.features import detector_id, make_detector
 
-    detector = make_detector(args.eval_detector)
+    # one detector (and one compiled feature extractor) for the whole run
+    dkey = ("detector", args.eval_detector)
+    if dkey not in _EVAL_DEV_CACHE:
+        _EVAL_DEV_CACHE[dkey] = make_detector(args.eval_detector)
+    detector = _EVAL_DEV_CACHE[dkey]
     real = ImageFolderDataset(args.eval_refdir, args.image_size,
                               raw_uint8=True)
     result = calc_metric(
@@ -379,7 +420,8 @@ def _plot_samples(args, model, state, transport, vae, vae_params, exp_dir,
     import jax
     from PIL import Image
 
-    ema_params = jax.tree.map(np.asarray, state.ema_params)
+    ema_params = _eval_ema_params(state)
+    vparams = _eval_dev_params("vae", vae_params)
     n = min(args.eval_bs * 4, 16)
     # chunk generation so the sampler+decode live set scales down at high
     # res: a single 16-sample batch at 512-res OOMs next to the resident
@@ -393,7 +435,7 @@ def _plot_samples(args, model, state, transport, vae, vae_params, exp_dir,
 
     run = _eval_gen_fn(model, transport, vae)
     imgs = np.concatenate([
-        np.asarray(run(ema_params, vae_params, z[i:i + chunk],
+        np.asarray(run(ema_params, vparams, z[i:i + chunk],
                        y[i:i + chunk]))
         for i in range(0, n, chunk)], axis=0)
     imgs = np.clip((imgs + 1) / 2 * 255, 0, 255).astype(np.uint8)
