@@ -177,6 +177,34 @@ def test_grad_accum_matches_sequential_replay():
                                    atol=2e-6, rtol=1e-5)
 
 
+def test_ema_decay_flag_semantics():
+    """make_train_step(ema_decay=d) applies exactly
+    ema' = d*ema + (1-d)*params' (train.py --ema-decay plumbs here):
+    d=0 makes the EMA track raw params bitwise; d=0.5 matches the closed
+    form against a copy of the pre-step EMA tree."""
+    model, cfg = tiny_model()
+    transport = create_transport("GVP", "velocity")
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 4, 8, 8))
+    y = jnp.arange(4) % 10
+    params = model.init(jax.random.PRNGKey(1), x[:1], jnp.zeros((1,)),
+                        y[:1])["params"]
+    opt = create_optimizer(1e-2)
+    rng = jax.random.PRNGKey(2)
+
+    step0 = make_train_step(model, transport, opt, mesh=None, ema_decay=0.0)
+    s0, _ = step0(create_train_state(params, opt), x, y, rng)
+    for a, b in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s0.ema_params)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    ema_before = jax.tree.map(np.asarray, params)  # ema starts as a copy
+    step5 = make_train_step(model, transport, opt, mesh=None, ema_decay=0.5)
+    s5, _ = step5(create_train_state(params, opt), x, y, rng)
+    expect = jax.tree.map(lambda e, p: 0.5 * e + 0.5 * np.asarray(p),
+                          ema_before, s5.params)
+    for a, b in zip(jax.tree.leaves(s5.ema_params), jax.tree.leaves(expect)):
+        np.testing.assert_allclose(np.asarray(a), b, atol=1e-7, rtol=1e-6)
+
+
 def test_dp_grad_accum_composes():
     """shard_map DP x grad_accum (the flagship global-704 recipe shape:
     scripts/train.sh runs --grad-accum 8 on an 8-chip data mesh) == the

@@ -69,6 +69,11 @@ def parse_args(argv=None):
                         "per-chip batches that exceed memory")
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--max-grad-norm", type=float, default=2.0)
+    p.add_argument("--ema-decay", type=float, default=0.9999,
+                   help="EMA decay per optimizer step (the reference "
+                        "hard-codes 0.9999, train.py:55; exposed here "
+                        "because short runs need a shorter EMA horizon — "
+                        "half-life = ln2/(1-decay) steps)")
     # reference-faithful dead flags: the reference defines these and an
     # adjust_learning_rate helper but never calls it (the call is commented
     # out at reference train.py:303), so training runs at constant lr.  The
@@ -226,6 +231,7 @@ def main():
     train_step = make_train_step(model, transport, optimizer,
                                  mesh=None if use_tp else mesh,
                                  max_grad_norm=args.max_grad_norm,
+                                 ema_decay=args.ema_decay,
                                  use_labels=use_labels,
                                  grad_accum=args.grad_accum)
     n_data_shards = (mesh.shape["data"] if (mesh is not None and not use_tp)
