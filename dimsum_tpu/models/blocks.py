@@ -31,6 +31,7 @@ from dimsum_tpu.ops.norms import (fused_add_norm, layer_norm, modulate,
 from dimsum_tpu.ops.wavelet import (
     dwt_tokens, idwt_tokens, dwt_tokens_windowed, idwt_tokens_windowed,
     wavelet_pack_windowed, wavelet_unpack_windowed,
+    dwt_tokens_cl, idwt_tokens_cl,
 )
 from dimsum_tpu.ops.dct import dct_patch, idct_patch
 from dimsum_tpu.ops.scan_orders import local_scan, local_reverse
@@ -400,7 +401,26 @@ class WaveDiMBlock(nn.Module, _DropPathMixin):
             or (win > patch and win % patch == 0
                 and os.environ.get("DIMSUM_WAVELET_ONE_REARRANGE", "0")
                 == "1"))
-        if fused_pack:
+        # Channel-last pack (wavelet.py dwt_tokens_cl): lane-aligned
+        # butterflies + one C-minor-contiguous transpose; no channel-major
+        # subband tensor ever exists, so BOTH 512-res copy families (the
+        # {1,0,3,2}->{3,2,1,0} layout fix and the 6-D token transpose)
+        # disappear from the HLO.  Bitwise-equal to the composition
+        # (tests/test_ops.py).  Opt-in until measured end-to-end.
+        cl_pack = (os.environ.get("DIMSUM_DWT_CL", "0") == "1"
+                   and not fused_pack
+                   and self.num_wavelet_lv in (1, 2)
+                   and hidden_states.shape[-1] % patch ** 2 == 0
+                   and h % patch == 0
+                   and (not self.window_scan or (h // patch) % patch == 0
+                        or h // patch == patch))
+        if cl_pack:
+            hidden_states = dwt_tokens_cl(
+                hidden_states, self.num_wavelet_lv,
+                window_scan=self.window_scan,
+                grid_transpose=bool(self.transpose) and not self.window_scan,
+                column_first=column_first)
+        elif fused_pack:
             hidden_states = wavelet_pack_windowed(
                 hidden_states, self.num_wavelet_lv,
                 column_first=column_first)
@@ -448,7 +468,13 @@ class WaveDiMBlock(nn.Module, _DropPathMixin):
             hidden_states = jnp.flip(hidden_states, axis=1)
         if self.scanning_continuity:
             hidden_states = _scanning_continuity(hidden_states, h, w)
-        if fused_pack:
+        if cl_pack:
+            hidden_states = idwt_tokens_cl(
+                hidden_states, self.num_wavelet_lv,
+                window_scan=self.window_scan,
+                grid_transpose=bool(self.transpose) and not self.window_scan,
+                column_first=column_first)
+        elif fused_pack:
             hidden_states = wavelet_unpack_windowed(
                 hidden_states, self.num_wavelet_lv,
                 column_first=column_first)

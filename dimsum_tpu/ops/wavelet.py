@@ -35,6 +35,7 @@ __all__ = [
     "dwt2d", "idwt2d", "dwt_tokens", "idwt_tokens",
     "dwt_tokens_windowed", "idwt_tokens_windowed",
     "wavelet_pack_windowed", "wavelet_unpack_windowed",
+    "dwt_tokens_cl", "idwt_tokens_cl",
 ]
 
 
@@ -192,6 +193,165 @@ def idwt_tokens(x, num_lv: int = 2):
     sub = rearrange(x * scale, "b (h p1 w p2) c -> b (c p1 p2) h w",
                     p1=patch, p2=patch, h=lowest)
     return _idwt_unpack_subbands(sub, num_lv)
+
+
+# ---------------------------------------------------------------------------
+# Channel-last wavelet pack: lane-aligned butterflies + ONE final transpose.
+#
+# The 512-res trace pins the layout bucket to two per-block copy families
+# born in the channel-MAJOR pipeline above: dwt2d's (B, n*C, h, w) subband
+# tensor draws a layout-assignment copy (bf16[8,8192,8,8] {1,0,3,2}->
+# {3,2,1,0}, spatial dims minor = 3-6% lane utilization), and the final
+# token rearrange materializes the 6-D transpose (bf16[8,8,4,8,4,512]).
+#
+# Key identity (verified bitwise vs the reference pipeline): because the
+# DiMSUM configs all have C % (2^lv)^2 == 0, the reference's channel/subband
+# mixing "(s1 s2 ch) -> (c2 p1 p2)" decomposes as
+#     within-block token (p1, p2) = ch % n          (low bits of the INPUT
+#                                                    channel index)
+#     output channel     c2       = (s1, s2, ch//n) (subbands become the
+#                                                    high output-channel bits)
+# so the whole pack is: channel-LAST butterflies over (B, H, W, C) slices
+# (every add lane-aligned, C minor throughout, no channel-major tensor ever
+# exists) followed by a single transpose whose output has the full C
+# contiguous minor.  Bitwise-equal to dwt_tokens / dwt_tokens_windowed /
+# dwt_tokens+_transpose_tokens (the butterfly sums are the same expression
+# tree; scales are powers of two).  Opt-in via DIMSUM_DWT_CL=1 in
+# WaveDiMBlock pending end-to-end measurement (see BENCH.md).
+# ---------------------------------------------------------------------------
+
+
+def _quads_cl(x):
+    """x: (B, H, W, C) -> the four 2x2-block corners, each (B, H/2, W/2, C)."""
+    B, H, W, C = x.shape
+    xb = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    return (xb[:, :, 0, :, 0], xb[:, :, 0, :, 1],
+            xb[:, :, 1, :, 0], xb[:, :, 1, :, 1])
+
+
+def _butterfly_cl(x, scale):
+    """Analysis butterflies on channel-last x; returns [ll, lh, hl, hh]."""
+    a, b, c, d = _quads_cl(x)
+    return [scale * (a + b + c + d), scale * (a + b - c - d),
+            scale * (a - b + c - d), scale * (a - b - c + d)]
+
+
+def _ibutterfly_cl(ll, lh, hl, hh, scale):
+    """Synthesis butterflies, channel-last: 4 x (B, H, W, C) -> (B, 2H, 2W, C)."""
+    a = scale * (ll + lh + hl + hh)
+    b = scale * (ll + lh - hl - hh)
+    c = scale * (ll - lh + hl - hh)
+    d = scale * (ll - lh - hl + hh)
+    B, H, W, C = a.shape
+    y = jnp.stack([a, b, c, d], axis=3).reshape(B, H, W, 2, 2, C)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(B, 2 * H, 2 * W, C)
+
+
+def _cl_axis_order(mode, column_first, two_level_grid):
+    """Output axis order for the single final transpose of dwt_tokens_cl.
+
+    Input axes: (b, h, w, s, hi, p1, p2) or, when the window is coarser than
+    the dwt block (two_level_grid), (b, h2, h1, w2, w1, s, hi, p1, p2).
+    The output token/channel orders mirror dwt_tokens ("(h p1 w p2)"),
+    _transpose_tokens of it ("(w p2 h p1)"), and dwt_tokens_windowed's
+    row/column orders; channels are always (s, hi) = the reference's c2."""
+    if two_level_grid:  # window_scan with win > patch (e.g. 512-res)
+        if column_first:
+            return (0, 3, 1, 4, 8, 2, 7, 5, 6)  # b (w2 h2 w1 p2 h1 p1) c
+        return (0, 1, 3, 2, 7, 4, 8, 5, 6)      # b (h2 w2 h1 p1 w1 p2) c
+    orders = {
+        "plain": (0, 1, 5, 2, 6, 3, 4),         # b (h p1 w p2) c
+        "grid_t": (0, 2, 6, 1, 5, 3, 4),        # b (w p2 h p1) c
+        "win_row": (0, 1, 2, 5, 6, 3, 4),       # b (h w p1 p2) c
+        "win_col": (0, 2, 1, 6, 5, 3, 4),       # b (w h p2 p1) c
+    }
+    return orders[mode]
+
+
+def _cl_mode(window_scan, grid_transpose, column_first, win, patch):
+    if window_scan:
+        if win == patch:
+            return ("win_col" if column_first else "win_row"), False
+        if win % patch:
+            raise ValueError("channel-last pack needs window % patch == 0")
+        return None, True
+    return ("grid_t" if grid_transpose else "plain"), False
+
+
+def dwt_tokens_cl(x, num_lv: int = 2, *, window_scan: bool = False,
+                  grid_transpose: bool = False, column_first: bool = False):
+    """Channel-last twin of dwt_tokens [+ local_scan | + _transpose_tokens].
+
+    window_scan=True  -> == local_scan(dwt_tokens(x), w=side//patch, ...)
+    grid_transpose    -> == transpose_tokens(dwt_tokens(x)) (packed grid
+                         transpose; only valid with window_scan=False)
+    else              -> == dwt_tokens(x)
+    """
+    B, L, C = x.shape
+    side = int(round(L ** 0.5))
+    patch = 2 ** num_lv
+    n = patch * patch
+    if C % n or side % patch:
+        raise ValueError(
+            f"channel-last pack needs C % {n} == 0 and side % {patch} == 0 "
+            f"(got C={C}, side={side})")
+    if num_lv not in (1, 2):
+        raise ValueError("dwt_tokens_cl supports num_lv in (1, 2)")
+    hi = C // n
+    Hb = side // patch
+    xg = x.reshape(B, side, side, C)
+    if num_lv == 1:
+        subs = _butterfly_cl(xg, jnp.asarray(0.25, x.dtype))
+    else:
+        lvl1 = _butterfly_cl(xg, jnp.asarray(0.5, x.dtype))
+        subs = []
+        for t in lvl1:
+            subs.extend(_butterfly_cl(t, jnp.asarray(0.125, x.dtype)))
+    S = jnp.stack(subs, axis=3)                      # (B, Hb, Wb, s, C)
+    S = S.reshape(B, Hb, Hb, n, hi, patch, patch)    # (b,h,w,s,hi,p1,p2)
+    win = side // patch
+    mode, two_level = _cl_mode(window_scan, grid_transpose, column_first,
+                               win, patch)
+    if two_level:
+        f = win // patch
+        S = S.reshape(B, patch, f, patch, f, n, hi, patch, patch)
+    out = S.transpose(*_cl_axis_order(mode, column_first, two_level))
+    return out.reshape(B, L, C)
+
+
+def idwt_tokens_cl(y, num_lv: int = 2, *, window_scan: bool = False,
+                   grid_transpose: bool = False, column_first: bool = False):
+    """Inverse of `dwt_tokens_cl` (same mode flags)."""
+    B, L, C = y.shape
+    side = int(round(L ** 0.5))
+    patch = 2 ** num_lv
+    n = patch * patch
+    if C % n or side % patch:
+        raise ValueError(
+            f"channel-last unpack needs C % {n} == 0 and side % {patch} == 0 "
+            f"(got C={C}, side={side})")
+    if num_lv not in (1, 2):
+        raise ValueError("idwt_tokens_cl supports num_lv in (1, 2)")
+    hi = C // n
+    Hb = side // patch
+    win = side // patch
+    mode, two_level = _cl_mode(window_scan, grid_transpose, column_first,
+                               win, patch)
+    order = _cl_axis_order(mode, column_first, two_level)
+    if two_level:
+        f = win // patch
+        shp = [B, patch, f, patch, f, n, hi, patch, patch]
+    else:
+        shp = [B, Hb, Hb, n, hi, patch, patch]
+    inv = np.argsort(order)
+    yb = y.reshape([shp[ax] for ax in order]).transpose(*inv)
+    S = yb.reshape(B, Hb, Hb, n, C) * jnp.asarray(2 ** num_lv, y.dtype)
+    subs = [S[:, :, :, i] for i in range(n)]
+    half = jnp.asarray(0.5, y.dtype)
+    if num_lv == 1:
+        return _ibutterfly_cl(*subs, half).reshape(B, L, C)
+    lvl1 = [_ibutterfly_cl(*subs[4 * s1:4 * s1 + 4], half) for s1 in range(4)]
+    return _ibutterfly_cl(*lvl1, half).reshape(B, L, C)
 
 
 # ---------------------------------------------------------------------------

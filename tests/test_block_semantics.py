@@ -100,6 +100,29 @@ def test_wave_block_zero_gate_identity():
         rms_norm(x, w, eps=1e-5)), rtol=1e-4, atol=1e-5)
 
 
+def test_wave_block_channel_last_pack_flag(monkeypatch):
+    """DIMSUM_DWT_CL=1 (channel-last wavelet pack, wavelet.py dwt_tokens_cl)
+    is BITWISE-equal to the default channel-major path at the block level,
+    for windowed and transpose wirings and for window == patch (256-res
+    grid) and window > patch (512-res grid)."""
+    for L, window_scan, transpose in ((256, True, False), (256, True, True),
+                                      (256, False, True), (1024, True, False)):
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, L, 32))
+        c = jax.random.normal(jax.random.PRNGKey(3), (2, 32))
+        blk = WaveDiMBlock(dim=32, mixer_kwargs=dict(scan_impl="xla"),
+                           rms_norm=True, no_ffn=False,
+                           window_scan=window_scan, transpose=transpose)
+        params = blk.init(jax.random.PRNGKey(4), x, None, c)
+        monkeypatch.delenv("DIMSUM_DWT_CL", raising=False)
+        y0, _ = blk.apply(params, x, None, c)
+        monkeypatch.setenv("DIMSUM_DWT_CL", "1")
+        y1, _ = blk.apply(params, x, None, c)
+        np.testing.assert_array_equal(
+            np.asarray(y0), np.asarray(y1),
+            err_msg=f"L={L} window_scan={window_scan} transpose={transpose}")
+        monkeypatch.delenv("DIMSUM_DWT_CL", raising=False)
+
+
 def test_window_scan_partitions_windows():
     """After local_scan(w), each contiguous w*w slice is one spatial window."""
     H = W = 8

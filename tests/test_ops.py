@@ -171,6 +171,54 @@ def test_wavelet_pack_windowed_matches_composition():
                                        rtol=1e-4, atol=1e-5)
 
 
+def test_dwt_tokens_cl_matches_composition():
+    """Channel-last pack/unpack (dwt_tokens_cl / idwt_tokens_cl) is
+    BITWISE-equal to the channel-major compositions it replaces, in every
+    mode WaveDiMBlock can reach: plain (== dwt_tokens), grid-transpose
+    (== transpose_tokens(dwt_tokens)), windowed row/column (== local_scan
+    (dwt_tokens)), at num_lv 2 (256-res window==patch AND 512-res
+    window>patch grids) and num_lv 1."""
+    from einops import rearrange
+
+    from dimsum_tpu.ops.scan_orders import local_reverse, local_scan
+    from dimsum_tpu.ops.wavelet import dwt_tokens_cl, idwt_tokens_cl
+
+    rng = np.random.default_rng(11)
+    for lv, side, C in ((2, 16, 32), (2, 32, 64), (1, 16, 16), (1, 4, 8)):
+        L = side * side
+        win = side // 2 ** lv
+        x = rng.standard_normal((2, L, C)).astype(np.float32)
+        ref = dwt_tokens(x, lv)
+        got = dwt_tokens_cl(x, lv)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref),
+                                      err_msg=f"plain lv={lv} side={side}")
+        np.testing.assert_array_equal(
+            np.asarray(idwt_tokens_cl(got, lv)),
+            np.asarray(idwt_tokens(ref, lv)),
+            err_msg=f"plain-inv lv={lv} side={side}")
+        ref_t = rearrange(ref, "b (h w) c -> b (w h) c", h=side)
+        got_t = dwt_tokens_cl(x, lv, grid_transpose=True)
+        np.testing.assert_array_equal(np.asarray(got_t), np.asarray(ref_t),
+                                      err_msg=f"grid_t lv={lv} side={side}")
+        np.testing.assert_allclose(
+            np.asarray(idwt_tokens_cl(got_t, lv, grid_transpose=True)), x,
+            rtol=1e-4, atol=1e-5, err_msg=f"grid_t-inv lv={lv} side={side}")
+        for cf in (False, True):
+            ref_w = local_scan(ref, w=win, H=side, W=side, column_first=cf)
+            got_w = dwt_tokens_cl(x, lv, window_scan=True, column_first=cf)
+            np.testing.assert_array_equal(
+                np.asarray(got_w), np.asarray(ref_w),
+                err_msg=f"win lv={lv} side={side} cf={cf}")
+            back_ref = idwt_tokens(
+                local_reverse(ref_w, w=win, H=side, W=side, column_first=cf),
+                lv)
+            back = idwt_tokens_cl(got_w, lv, window_scan=True,
+                                  column_first=cf)
+            np.testing.assert_array_equal(
+                np.asarray(back), np.asarray(back_ref),
+                err_msg=f"win-inv lv={lv} side={side} cf={cf}")
+
+
 def test_dwt_tokens_energy_scaling():
     """2-level pack divides by 4 (reference :579): constant image maps the
     LL-of-LL band to mean value."""
