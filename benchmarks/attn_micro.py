@@ -72,6 +72,26 @@ def main():
 
         bench("xla dot_product_attention", xla)
 
+        from dimsum_tpu.ops.full_attention import (_build_call,
+                                                   full_block_attention)
+
+        def full_block_raw(q, kk, v):
+            call = _build_call(B * H, L, Dh, q.dtype.name, False)
+            scale = jnp.asarray(Dh ** -0.5, q.dtype)
+            return call((q * scale).reshape(B * H, L, Dh),
+                        kk.reshape(B * H, L, Dh),
+                        v.reshape(B * H, L, Dh)).reshape(B, H, L, Dh)
+
+        def full_block_wired(q, kk, v):
+            # in-model layout (B, L, H, Dh): includes the transposes the
+            # model path pays, same convention as the xla entry
+            blhd = lambda t: t.transpose(0, 2, 1, 3)
+            o = full_block_attention(blhd(q), blhd(kk), blhd(v), Dh ** -0.5)
+            return o.transpose(0, 2, 1, 3)
+
+        bench("full-block kernel (raw)", full_block_raw)
+        bench("full-block kernel (wired)", full_block_wired)
+
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             BlockSizes, flash_attention)
 

@@ -38,6 +38,16 @@ def _sdpa(q, k, v):
                  and jax.default_backend() in ("tpu", "axon")
                  and q.shape[1] % 128 == 0 and q.shape[3] >= 64)
     if use_flash:
+        # In the long-sequence regime prefer the full-block VMEM kernel
+        # (ops/full_attention.py): at L=1024/Dh=64 the (L, L) scores fit
+        # VMEM whole, so the online-softmax machinery flash pays for is
+        # pure overhead.  DIMSUM_FULL_ATTN=0 restores flash.
+        from dimsum_tpu.ops.full_attention import (full_block_attention,
+                                                   full_block_supported)
+        if (os.environ.get("DIMSUM_FULL_ATTN", "auto") != "0"
+                and full_block_supported(q.shape[1], q.shape[3])):
+            return full_block_attention(q, k, v, q.shape[-1] ** -0.5)
+    if use_flash:
         try:
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 flash_attention)
