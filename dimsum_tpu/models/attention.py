@@ -41,11 +41,16 @@ def _sdpa(q, k, v):
         # In the long-sequence regime prefer the full-block VMEM kernel
         # (ops/full_attention.py): at L=1024/Dh=64 the (L, L) scores fit
         # VMEM whole, so the online-softmax machinery flash pays for is
-        # pure overhead.  DIMSUM_FULL_ATTN=0 restores flash.
+        # pure overhead.  Only auto-preferred: an explicit
+        # DIMSUM_FLASH_ATTN=1 names the flash kernel and is honored as
+        # such (so flash ablations keep measuring flash); DIMSUM_FULL_ATTN=1
+        # forces full-block, =0 restores flash.
         from dimsum_tpu.ops.full_attention import (full_block_attention,
                                                    full_block_supported)
-        if (os.environ.get("DIMSUM_FULL_ATTN", "auto") != "0"
-                and full_block_supported(q.shape[1], q.shape[3])):
+        full_mode = os.environ.get("DIMSUM_FULL_ATTN", "auto")
+        prefer_full = (full_mode == "1"
+                       or (full_mode != "0" and mode != "1"))
+        if prefer_full and full_block_supported(q.shape[1], q.shape[3]):
             return full_block_attention(q, k, v, q.shape[-1] ** -0.5)
     if use_flash:
         try:

@@ -94,7 +94,13 @@ def _conv_xproj_impl(x, conv_w, conv_b, w_xp, reverse: bool):
     W = conv_w.shape[1]
     R = w_xp.shape[1]
     d_block = int(os.environ.get("DIMSUM_CONV_XPROJ_DBLOCK", "512"))
-    while D % d_block != 0:
+    if d_block < 128 or (d_block & (d_block - 1)) != 0:
+        import warnings
+        warnings.warn(
+            f"DIMSUM_CONV_XPROJ_DBLOCK={d_block} invalid (need a power of"
+            " two >= 128); using 512", RuntimeWarning, stacklevel=3)
+        d_block = 512
+    while D % d_block != 0 and d_block > 128:
         d_block //= 2
     R_pad = max(128, ((R + 127) // 128) * 128)
     wx = w_xp.astype(x.dtype)

@@ -116,4 +116,7 @@ full_block_attention.defvjp(_fwd, _bwd)
 
 
 def full_block_supported(L: int, Dh: int) -> bool:
-    return L % 8 == 0 and L <= _MAX_FULL_BLOCK_L and Dh % 8 == 0
+    # L must be lane-aligned (128) so the (L, L) score tile maps onto the
+    # MXU/VPU without padding copies — the same alignment _sdpa requires
+    # before considering any Pallas kernel (models/attention.py).
+    return L % 128 == 0 and L <= _MAX_FULL_BLOCK_L and Dh % 8 == 0

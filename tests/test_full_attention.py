@@ -64,4 +64,5 @@ def test_full_block_attention_softmax_stability():
 def test_full_block_supported_gate():
     assert full_block_supported(1024, 64)
     assert not full_block_supported(2048, 64)   # VMEM gate
-    assert not full_block_supported(1000, 64)   # alignment
+    assert not full_block_supported(1000, 64)   # not lane (128) aligned
+    assert not full_block_supported(1001, 64)   # not even 8-aligned

@@ -311,13 +311,18 @@ def _eval_dev_params(tag, params):
     params).  One device_put per (tag, tree identity) caps it."""
     import jax
 
+    # Key on identity, but hold a strong reference to the host tree in the
+    # cache entry: if the original tree were garbage-collected, a new tree
+    # could reuse the same id() and alias a stale device copy.
     key = (tag, id(params))
-    if key not in _EVAL_DEV_CACHE:
+    hit = _EVAL_DEV_CACHE.get(key)
+    if hit is None or hit[0] is not params:
         # drop stale entries for this tag (e.g. last eval's ema snapshot)
         for k in [k for k in _EVAL_DEV_CACHE if k[0] == tag]:
             del _EVAL_DEV_CACHE[k]
-        _EVAL_DEV_CACHE[key] = jax.device_put(params, jax.local_devices()[0])
-    return _EVAL_DEV_CACHE[key]
+        hit = (params, jax.device_put(params, jax.local_devices()[0]))
+        _EVAL_DEV_CACHE[key] = hit
+    return hit[1]
 
 
 def _eval_ema_params(state):
