@@ -17,6 +17,7 @@ from dimsum_tpu.eval.features import (  # noqa: F401
 from dimsum_tpu.eval.metric_main import (  # noqa: F401
     calc_metric,
     calc_metrics_many,
+    calc_metrics_multiprocess,
     is_valid_metric,
     list_valid_metrics,
     report_metric,

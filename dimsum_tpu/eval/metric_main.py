@@ -41,10 +41,19 @@ def list_valid_metrics():
     return list(_metric_dict)
 
 
-def _dataset_batches(dataset, batch_size: int, max_items: Optional[int]):
+def _dataset_batches(dataset, batch_size: int, max_items: Optional[int],
+                     shard=(0, 1)):
+    """Batches over this process's CONTIGUOUS shard of the dataset.
+
+    The reference shards the real side rank-strided
+    (metric_utils.py:271-279 `item_subset`); contiguous blocks are
+    equivalent coverage and reassemble into the exact single-process item
+    order by concatenation in rank order (dist_stats.py)."""
     n = len(dataset) if max_items is None else min(len(dataset), max_items)
-    for i in range(0, n, batch_size):
-        xs = [dataset[j][0] for j in range(i, min(i + batch_size, n))]
+    rank, world = shard
+    lo, hi = rank * n // world, (rank + 1) * n // world
+    for i in range(lo, hi, batch_size):
+        xs = [dataset[j][0] for j in range(i, min(i + batch_size, hi))]
         yield np.stack(xs)
 
 
@@ -60,22 +69,35 @@ def dataset_feature_stats(dataset, detector, batch_size: int = 64,
                           max_items: Optional[int] = None,
                           capture_all: bool = False,
                           cache_dir: Optional[str] = None,
-                          dataset_id: str = "", detector_id: str = ""):
-    """Features of the real dataset, cached on disk like metric_utils."""
+                          dataset_id: str = "", detector_id: str = "",
+                          shard=None):
+    """Features of the real dataset, cached on disk like metric_utils.
+
+    With `shard=(rank, world)`, world > 1: COLLECTIVE -- each process runs
+    the detector over its own contiguous shard and the combined stats are
+    allgathered (every rank returns the full-dataset stats; rank 0 writes
+    the cache).  This is the reference's rank-sharded real-side pipeline
+    (metric_utils.py:271-279) without the per-rank PNG/broadcast loop."""
+    rank, world = shard if shard is not None else (0, 1)
     path = None
     if cache_dir:
-        os.makedirs(cache_dir, exist_ok=True)
+        if rank == 0:
+            os.makedirs(cache_dir, exist_ok=True)
         path = _cache_path(cache_dir, "real-stats", dataset_id, detector_id,
                            max_items, capture_all)
         if os.path.exists(path):
             loaded = FeatureStats.load(path)
             if not capture_all or loaded.capture_all:
                 return loaded
-    stats = FeatureStats(capture_all=capture_all, capture_mean_cov=True,
-                         max_items=max_items)
-    batched_features(_dataset_batches(dataset, batch_size, max_items),
-                     detector, stats)
-    if path:
+    stats = FeatureStats(capture_all=capture_all, capture_mean_cov=True)
+    batched_features(
+        _dataset_batches(dataset, batch_size, max_items, (rank, world)),
+        detector, stats)
+    if world > 1:
+        from dimsum_tpu.eval.dist_stats import combine_feature_stats
+
+        stats = combine_feature_stats(stats)
+    if path and rank == 0:
         stats.save(path)
     return stats
 
@@ -86,6 +108,23 @@ def gen_feature_stats(gen_batches: Iterable[np.ndarray], detector,
     stats = FeatureStats(capture_all=capture_all, capture_mean_cov=True,
                          max_items=max_items)
     return batched_features(gen_batches, detector, stats)
+
+
+def _real_stats(opts, capture_all: bool = False):
+    """Real-side feature stats: reuse a caller-provided precomputed
+    FeatureStats (opts["real_stats"], e.g. the cooperatively-sharded stats
+    from calc_metrics_multiprocess -- metric dispatch may run on rank 0
+    only, so no collective can hide inside a metric fn) or run the
+    detector over the dataset."""
+    rs = opts.get("real_stats")
+    if rs is not None and (not capture_all or rs.capture_all):
+        return rs
+    return dataset_feature_stats(opts["real_dataset"], opts["detector"],
+                                 opts.get("batch_size", 64),
+                                 max_items=None, capture_all=capture_all,
+                                 cache_dir=opts.get("cache_dir"),
+                                 dataset_id=opts.get("dataset_id", ""),
+                                 detector_id=opts.get("detector_id", ""))
 
 
 def _gen_stats(opts, n: Optional[int], capture_all: bool = False):
@@ -121,24 +160,14 @@ def fid2k_full(opts):
 
 @register_metric
 def kid50k_full(opts):
-    real = dataset_feature_stats(opts["real_dataset"], opts["detector"],
-                                 opts.get("batch_size", 64),
-                                 max_items=None, capture_all=True,
-                                 cache_dir=opts.get("cache_dir"),
-                                 dataset_id=opts.get("dataset_id", ""),
-                                 detector_id=opts.get("detector_id", ""))
+    real = _real_stats(opts, capture_all=True)
     gen = _gen_stats(opts, 50_000, capture_all=True)
     return {"kid50k_full": compute_kid(real.get_all(), gen.get_all())}
 
 
 @register_metric
 def pr50k3_full(opts):
-    real = dataset_feature_stats(opts["real_dataset"], opts["detector"],
-                                 opts.get("batch_size", 64),
-                                 max_items=None, capture_all=True,
-                                 cache_dir=opts.get("cache_dir"),
-                                 dataset_id=opts.get("dataset_id", ""),
-                                 detector_id=opts.get("detector_id", ""))
+    real = _real_stats(opts, capture_all=True)
     gen = _gen_stats(opts, 50_000, capture_all=True)
     p, r = compute_precision_recall(real.get_all(), gen.get_all())
     return {"pr50k3_full_precision": p, "pr50k3_full_recall": r}
@@ -188,12 +217,7 @@ def ppl_zfull(opts):
 
 
 def _fid(opts, n: int) -> float:
-    real = dataset_feature_stats(opts["real_dataset"], opts["detector"],
-                                 opts.get("batch_size", 64),
-                                 max_items=None,
-                                 cache_dir=opts.get("cache_dir"),
-                                 dataset_id=opts.get("dataset_id", ""),
-                                 detector_id=opts.get("detector_id", ""))
+    real = _real_stats(opts)
     gen = _gen_stats(opts, n)
     return compute_fid(real, gen)
 
@@ -230,6 +254,58 @@ def calc_metrics_many(metrics, **opts):
             opts["gen_batches"](), opts["detector"],
             max_items=opts.get("max_gen_items"), capture_all=need_all)
     return [calc_metric(m, **opts) for m in metrics]
+
+
+def calc_metrics_multiprocess(metrics, real_dataset, detector,
+                              gen_batches=None, gen_stats=None,
+                              max_gen_items: Optional[int] = None,
+                              **opts):
+    """Rank-sharded metric pipeline (reference calc_metrics.py:205-210 +
+    metric_utils.py:271-279, re-done with additive stats instead of the
+    per-rank feature broadcast):
+
+      1. every process streams ITS OWN generated batches through the
+         detector (`gen_batches` must already be this rank's slice;
+         `max_gen_items` caps the local count) -- or pass a per-rank
+         partial `gen_stats` directly;
+      2. every process extracts features over its contiguous shard of the
+         real dataset (skipped on a stats-cache hit);
+      3. the partial stats are allgathered and combined (dist_stats);
+      4. rank 0 computes the metrics and returns the results list;
+         other ranks return [].
+
+    COLLECTIVE: all processes must call with the same metric list.
+    Single-process it degrades exactly to calc_metrics_many."""
+    import jax
+
+    rank, world = jax.process_index(), jax.process_count()
+    metrics = [m.strip() for m in metrics if m.strip()]
+    for m in metrics:
+        assert is_valid_metric(m), f"unknown metric {m}"
+    need_all = any(not m.startswith("fid") for m in metrics)
+
+    if gen_stats is None and gen_batches is not None:
+        gen_stats = gen_feature_stats(gen_batches(), detector,
+                                      max_items=max_gen_items,
+                                      capture_all=need_all)
+    if world > 1 and gen_stats is not None:
+        from dimsum_tpu.eval.dist_stats import combine_feature_stats
+
+        gen_stats = combine_feature_stats(gen_stats)
+
+    real_stats = dataset_feature_stats(
+        real_dataset, detector, opts.get("batch_size", 64),
+        max_items=None, capture_all=need_all,
+        cache_dir=opts.get("cache_dir"),
+        dataset_id=opts.get("dataset_id", ""),
+        detector_id=opts.get("detector_id", ""),
+        shard=(rank, world))
+
+    if rank != 0:
+        return []
+    return [calc_metric(m, real_dataset=real_dataset, detector=detector,
+                        gen_stats=gen_stats, real_stats=real_stats, **opts)
+            for m in metrics]
 
 
 def report_metric(result: Dict, run_dir: Optional[str] = None):

@@ -17,6 +17,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 
@@ -62,8 +63,12 @@ def ode_heun(drift, x, t0: float, t1: float, num_steps: int):
 # Adaptive Dormand-Prince 5(4)
 # ---------------------------------------------------------------------------
 
-# Butcher tableau (standard DOPRI5, same as torchdiffeq/diffrax)
-_C = jnp.array([0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0])
+# Butcher tableau (standard DOPRI5, same as torchdiffeq/diffrax).
+# numpy on purpose: module-level jnp.array would initialize the XLA
+# backend at import time, which breaks jax.distributed.initialize in any
+# CLI that imports transport before init_distributed (sample_ddp.py
+# multi-host); the constants convert at trace time anyway.
+_C = np.array([0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0])
 _A = [
     [],
     [1 / 5],
@@ -73,9 +78,9 @@ _A = [
     [9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656],
     [35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84],
 ]
-_B5 = jnp.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784,
+_B5 = np.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784,
                  11 / 84, 0.0])
-_B4 = jnp.array([5179 / 57600, 0.0, 7571 / 16695, 393 / 640,
+_B4 = np.array([5179 / 57600, 0.0, 7571 / 16695, 393 / 640,
                  -92097 / 339200, 187 / 2100, 1 / 40])
 
 

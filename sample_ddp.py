@@ -61,7 +61,9 @@ def parse_args(argv=None):
                    help="stream generated batches straight into the "
                         "detector (one pass, shared feature stats across "
                         "metrics) instead of the PNG round-trip; add "
-                        "--save-images to also keep the files")
+                        "--save-images to also keep the files; multi-host: "
+                        "feature extraction shards over processes and the "
+                        "stats allgather (rank 0 reports)")
     p.add_argument("--save-images", action="store_true",
                    help="with --eval-streaming: also write the PNGs")
     # multi-host (the reference's torchrun rank-strided generation,
@@ -278,29 +280,32 @@ def main():
     if args.eval_streaming and args.eval_refdir:
         # ONE pass: images stream through the detector as they are
         # generated; feature stats shared across the requested metrics
-        # (kills the PNG round-trip the reference does, sample_ddp:195-229)
-        assert n_proc == 1, (
-            "--eval-streaming is single-process (multi-host uses the "
-            "folder path: per-rank PNGs + rank-0 metrics)")
+        # (kills the PNG round-trip the reference does, sample_ddp:195-229).
+        # Multi-host: each process streams ITS slice of the 50k, the
+        # partial feature stats allgather (eval/dist_stats.py), rank 0
+        # computes the metrics -- the reference's rank-sharded feature
+        # pipeline (metric_utils.py:271-279) with zero disk I/O.
         from dimsum_tpu.data import ImageFolderDataset
-        from dimsum_tpu.eval import calc_metrics_many, report_metric
+        from dimsum_tpu.eval import calc_metrics_multiprocess, report_metric
 
         real = ImageFolderDataset(args.eval_refdir, cfg.img_resolution * 8,
                                   raw_uint8=True)
         t0 = time.time()
-        results = calc_metrics_many(
+        results = calc_metrics_multiprocess(
             args.eval_metric.split(","), real_dataset=real,
-            gen_batches=uint8_batches, max_gen_items=args.num_fid_samples,
+            gen_batches=uint8_batches, max_gen_items=proc_samples,
             **eval_opts)
         t_eval = time.time() - t0
         for result in results:
             report_metric(result, run_dir=args.sample_dir)
         t_feat = (t_eval - timers["generate"] - timers["decode"]
                   - timers["write"])
-        print(f"wall-clock split: generate {timers['generate']:.1f}s, "
+        print(f"[proc {proc_id}] wall-clock split: "
+              f"generate {timers['generate']:.1f}s, "
               f"decode {timers['decode']:.1f}s, "
               f"features+metrics {t_feat:.1f}s, "
               f"write {timers['write']:.1f}s", file=sys.stderr)
+        _barrier()
         return
 
     # disk path (reference behavior): drain the generator (writes PNGs),
