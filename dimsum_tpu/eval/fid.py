@@ -11,6 +11,7 @@ be held when only FID is computed.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import numpy as np
@@ -146,9 +147,32 @@ def _pairwise_sq_dists(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 def compute_precision_recall(feats_real: np.ndarray, feats_gen: np.ndarray,
                              nhood_size: int = 3,
-                             row_batch: int = 10000):
+                             row_batch: int = 10000,
+                             impl: str = "auto"):
     """Improved precision & recall (reference precision_recall.py):
-    manifold membership via k-NN radii in feature space."""
+    manifold membership via k-NN radii in feature space.
+
+    impl:
+      "numpy" -- the reference math verbatim: row-batched fp64 distance
+                 matrices + full sort on host (at 50k x 50k this is hours
+                 on one CPU core);
+      "jax"   -- chunked fp32 distances on the accelerator: the -2ab term
+                 rides the MXU (precision="highest", i.e. fp32-accurate --
+                 ABOVE the fp16 the reference uses on GPU,
+                 precision_recall.py:57), kth-neighbor via lax.top_k, hit
+                 tests fused on device; hours -> minutes at 50k;
+      "auto"  -- "jax" whenever a non-CPU backend is available.
+
+    Both impls are exchange-tested on random features
+    (tests/test_pr_jax.py)."""
+    if impl == "auto":
+        import jax
+
+        impl = "jax" if jax.default_backend() != "cpu" else "numpy"
+    if impl == "jax":
+        # cap the device chunk: 4096 x 50k fp32 distances ~ 800 MB HBM
+        return _pr_jax(feats_real, feats_gen, nhood_size,
+                       row_batch=min(row_batch, 4096))
 
     def manifold_radii(feats):
         radii = np.zeros(feats.shape[0], np.float64)
@@ -169,4 +193,68 @@ def compute_precision_recall(feats_real: np.ndarray, feats_gen: np.ndarray,
                                      manifold_radii(feats_real))
     recall = fraction_in_manifold(feats_real, feats_gen,
                                   manifold_radii(feats_gen))
+    return precision, recall
+
+
+def _pr_jax(feats_real, feats_gen, nhood_size: int, row_batch: int):
+    """Accelerator path for compute_precision_recall: one jitted program
+    per (row chunk, ref set) shape; the python chunk loop costs only
+    dispatch.  Padded ref columns are masked to +inf (radii) / radius -1
+    (hits) so they can never win."""
+    import jax
+    import jax.numpy as jnp
+
+    def pad_rows(x, mult):
+        n = x.shape[0]
+        p = (-n) % mult
+        return (np.pad(x, ((0, p), (0, 0))) if p else x), n
+
+    @functools.lru_cache(maxsize=None)
+    def radii_fn(k):
+        @jax.jit
+        def f(rows, feats, valid_cols):
+            d = (jnp.sum(rows ** 2, 1, keepdims=True)
+                 - 2.0 * jnp.dot(rows, feats.T, precision="highest")
+                 + jnp.sum(feats ** 2, 1)[None, :])
+            d = jnp.where(jnp.arange(feats.shape[0])[None, :] < valid_cols,
+                          jnp.maximum(d, 0.0), jnp.inf)
+            # (k+1) smallest per row, ascending; [k] = kth excluding self
+            small = -jax.lax.top_k(-d, k + 1)[0]
+            return small[:, k]
+        return f
+
+    @jax.jit
+    def hits_fn(rows, feats, radii, valid_cols):
+        d = (jnp.sum(rows ** 2, 1, keepdims=True)
+             - 2.0 * jnp.dot(rows, feats.T, precision="highest")
+             + jnp.sum(feats ** 2, 1)[None, :])
+        d = jnp.maximum(d, 0.0)
+        ok = jnp.arange(feats.shape[0])[None, :] < valid_cols
+        return jnp.any(ok & (d <= radii[None, :]), axis=1)
+
+    def manifold_radii(feats_np):
+        feats, n = pad_rows(feats_np.astype(np.float32), 128)
+        dev = jax.device_put(feats)
+        out = []
+        for i in range(0, feats.shape[0], row_batch):
+            out.append(np.asarray(radii_fn(nhood_size)(
+                dev[i: i + row_batch], dev, n)))
+        return dev, n, np.concatenate(out)[:n]
+
+    def fraction(probes_np, ref_dev, ref_n, ref_radii):
+        probes, n = pad_rows(probes_np.astype(np.float32), 128)
+        pr_dev = jax.device_put(probes)
+        radii = np.full(ref_dev.shape[0], -1.0, np.float32)
+        radii[:ref_n] = ref_radii
+        radii_dev = jax.device_put(radii)
+        hits = []
+        for i in range(0, probes.shape[0], row_batch):
+            hits.append(np.asarray(hits_fn(
+                pr_dev[i: i + row_batch], ref_dev, radii_dev, ref_n)))
+        return float(np.concatenate(hits)[:n].mean())
+
+    real_dev, real_n, real_radii = manifold_radii(feats_real)
+    gen_dev, gen_n, gen_radii = manifold_radii(feats_gen)
+    precision = fraction(feats_gen, real_dev, real_n, real_radii)
+    recall = fraction(feats_real, gen_dev, gen_n, gen_radii)
     return precision, recall

@@ -208,8 +208,8 @@ def main():
     t_start = time.time()
     save_images = not args.eval_streaming or args.save_images
 
-    def uint8_batches():
-        """Generate, decode and (optionally) persist; yields uint8 NCHW."""
+    def latent_batches():
+        """Generate on-device latent batches (this process's slice)."""
         nonlocal_rng = rng
         total = 0
         for it in range(iters):
@@ -226,30 +226,35 @@ def main():
             t0 = time.time()
             out = jax.block_until_ready(run(params, z, y, ks))
             timers["generate"] += time.time() - t0
-            if decode is None:
-                yield np.asarray(out)
-            else:
-                t0 = time.time()
-                imgs = np.asarray(jax.block_until_ready(decode(out)))
-                timers["decode"] += time.time() - t0
-                if save_images:
-                    from PIL import Image
-
-                    t0 = time.time()
-                    for i, im in enumerate(imgs):
-                        idx = sample_offset + total + i
-                        if total + i >= proc_samples:
-                            break
-                        Image.fromarray(im.transpose(1, 2, 0)).save(
-                            os.path.join(args.sample_dir,
-                                         f"{idx:06d}.{args.image_ext}"))
-                    timers["write"] += time.time() - t0
-                yield imgs[: proc_samples - total]
+            yield out, total
             total += global_batch
             if it % 10 == 0:
                 rate = min(total, proc_samples) / (time.time() - t_start)
                 print(f"[proc {proc_id}] [{it+1}/{iters}] {total} samples "
                       f"({rate:.2f} img/s)", file=sys.stderr)
+
+    def uint8_batches():
+        """Generate, decode and (optionally) persist; yields uint8 NCHW."""
+        for out, total in latent_batches():
+            if decode is None:
+                yield np.asarray(out)
+                continue
+            t0 = time.time()
+            imgs = np.asarray(jax.block_until_ready(decode(out)))
+            timers["decode"] += time.time() - t0
+            if save_images:
+                from PIL import Image
+
+                t0 = time.time()
+                for i, im in enumerate(imgs):
+                    idx = sample_offset + total + i
+                    if total + i >= proc_samples:
+                        break
+                    Image.fromarray(im.transpose(1, 2, 0)).save(
+                        os.path.join(args.sample_dir,
+                                     f"{idx:06d}.{args.image_ext}"))
+                timers["write"] += time.time() - t0
+            yield imgs[: proc_samples - total]
 
     def _barrier():
         if n_proc > 1:
@@ -286,20 +291,54 @@ def main():
         # computes the metrics -- the reference's rank-sharded feature
         # pipeline (metric_utils.py:271-279) with zero disk I/O.
         from dimsum_tpu.data import ImageFolderDataset
-        from dimsum_tpu.eval import calc_metrics_multiprocess, report_metric
+        from dimsum_tpu.eval import (
+            FeatureStats, calc_metrics_multiprocess, report_metric)
 
         real = ImageFolderDataset(args.eval_refdir, cfg.img_resolution * 8,
                                   raw_uint8=True)
-        t0 = time.time()
+        metric_list = args.eval_metric.split(",")
+        need_all = any(not m.strip().startswith("fid") for m in metric_list)
+
+        # Fused decode->detector: when the detector is the on-device flax
+        # InceptionV3 and the images are not being saved, quantize to uint8
+        # and extract features INSIDE one jitted program per batch -- only
+        # (B, 2048) features ever cross the device->host tunnel instead of
+        # (B, 3, 256, 256) images (the r4 rehearsal spent 298 s of 843 s in
+        # decode+transfer at just 2k samples).  uint8 rounding on device is
+        # the same op the unfused path runs, so features match the
+        # decode->host->detector path (tests/test_fused_decode_features.py).
+        from dimsum_tpu.eval.inception import (
+            JaxInceptionDetector, preprocess_uint8)
+
+        det = eval_opts.get("detector")
+        gen_stats = None
+        if (decode is not None and not save_images
+                and isinstance(det, JaxInceptionDetector)):
+            @jax.jit
+            def decode_feats(z):
+                img = vae.apply(vae_params, z, method=vae.decode)
+                u8 = jnp.clip((img + 1) * 127.5, 0, 255).astype(jnp.uint8)
+                return det.model.apply({"params": det.params},
+                                       preprocess_uint8(u8))
+
+            gen_stats = FeatureStats(capture_all=need_all,
+                                     capture_mean_cov=True,
+                                     max_items=proc_samples)
+            for out, _ in latent_batches():
+                t0 = time.time()
+                feats = np.asarray(jax.block_until_ready(decode_feats(out)))
+                timers["decode"] += time.time() - t0
+                gen_stats.append(feats)
+
         results = calc_metrics_multiprocess(
-            args.eval_metric.split(","), real_dataset=real,
-            gen_batches=uint8_batches, max_gen_items=proc_samples,
+            metric_list, real_dataset=real,
+            gen_batches=uint8_batches, gen_stats=gen_stats,
+            max_gen_items=proc_samples,
             **eval_opts)
-        t_eval = time.time() - t0
         for result in results:
             report_metric(result, run_dir=args.sample_dir)
-        t_feat = (t_eval - timers["generate"] - timers["decode"]
-                  - timers["write"])
+        t_feat = (time.time() - t_start - timers["generate"]
+                  - timers["decode"] - timers["write"])
         print(f"[proc {proc_id}] wall-clock split: "
               f"generate {timers['generate']:.1f}s, "
               f"decode {timers['decode']:.1f}s, "
