@@ -101,23 +101,32 @@ class GaussianDiffusion:
         alphas = 1.0 - betas
         self.alphas_cumprod = np.cumprod(alphas)
         self.alphas_cumprod_prev = np.append(1.0, self.alphas_cumprod[:-1])
-        self.sqrt_alphas_cumprod = np.sqrt(self.alphas_cumprod)
-        self.sqrt_one_minus_alphas_cumprod = np.sqrt(
-            1.0 - self.alphas_cumprod)
-        self.sqrt_recip_alphas_cumprod = np.sqrt(1.0 / self.alphas_cumprod)
-        self.sqrt_recipm1_alphas_cumprod = np.sqrt(
-            1.0 / self.alphas_cumprod - 1)
-        self.posterior_variance = (
-            betas * (1.0 - self.alphas_cumprod_prev)
-            / (1.0 - self.alphas_cumprod))
-        self.posterior_log_variance_clipped = np.log(
-            np.append(self.posterior_variance[1], self.posterior_variance[1:]))
-        self.posterior_mean_coef1 = (
-            betas * np.sqrt(self.alphas_cumprod_prev)
-            / (1.0 - self.alphas_cumprod))
-        self.posterior_mean_coef2 = (
-            (1.0 - self.alphas_cumprod_prev) * np.sqrt(alphas)
-            / (1.0 - self.alphas_cumprod))
+        # the ADM linear schedule scales beta_end by 1000/T, so small T
+        # drives beta past 1.0 and alphas_cumprod through 0/negative: the
+        # affected coefficient entries are inf/nan AT THOSE INDICES, same
+        # values as the reference's vendored ADM table -- computed silently
+        # instead of spraying RuntimeWarnings
+        with np.errstate(divide="ignore", invalid="ignore"):
+            self.sqrt_alphas_cumprod = np.sqrt(self.alphas_cumprod)
+            self.sqrt_one_minus_alphas_cumprod = np.sqrt(
+                1.0 - self.alphas_cumprod)
+            self.sqrt_recip_alphas_cumprod = np.sqrt(
+                1.0 / self.alphas_cumprod)
+            self.sqrt_recipm1_alphas_cumprod = np.sqrt(
+                1.0 / self.alphas_cumprod - 1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            self.posterior_variance = (
+                betas * (1.0 - self.alphas_cumprod_prev)
+                / (1.0 - self.alphas_cumprod))
+            self.posterior_log_variance_clipped = np.log(
+                np.append(self.posterior_variance[1],
+                          self.posterior_variance[1:]))
+            self.posterior_mean_coef1 = (
+                betas * np.sqrt(self.alphas_cumprod_prev)
+                / (1.0 - self.alphas_cumprod))
+            self.posterior_mean_coef2 = (
+                (1.0 - self.alphas_cumprod_prev) * np.sqrt(alphas)
+                / (1.0 - self.alphas_cumprod))
 
     # -- q --------------------------------------------------------------
     def q_sample(self, x_start, t, noise):

@@ -80,6 +80,19 @@ def parse_args(argv=None):
     return args
 
 
+def _rss_gb() -> float:
+    """Host resident set size in GB (50k-lane telemetry: the r4 in-training
+    eval RSS leak was only visible through exactly this counter)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1e6
+    except OSError:
+        pass
+    return float("nan")
+
+
 def main():
     args = parse_args()
     import jax
@@ -231,7 +244,8 @@ def main():
             if it % 10 == 0:
                 rate = min(total, proc_samples) / (time.time() - t_start)
                 print(f"[proc {proc_id}] [{it+1}/{iters}] {total} samples "
-                      f"({rate:.2f} img/s)", file=sys.stderr)
+                      f"({rate:.2f} img/s, rss {_rss_gb():.2f} GB)",
+                      file=sys.stderr)
 
     def uint8_batches():
         """Generate, decode and (optionally) persist; yields uint8 NCHW."""
@@ -343,7 +357,8 @@ def main():
               f"generate {timers['generate']:.1f}s, "
               f"decode {timers['decode']:.1f}s, "
               f"features+metrics {t_feat:.1f}s, "
-              f"write {timers['write']:.1f}s", file=sys.stderr)
+              f"write {timers['write']:.1f}s; final rss {_rss_gb():.2f} GB",
+              file=sys.stderr)
         _barrier()
         return
 

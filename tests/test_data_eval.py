@@ -381,3 +381,57 @@ def test_make_detector_specs():
     assert f.shape == (2, 2048)
     # He-rescaled init (v2) bumps the cache id (see features.detector_id)
     assert detector_id("jax-random") == "jax-random-he"
+
+
+def test_lmdb_dataset_with_stub_module(tmp_path, monkeypatch):
+    """LMDBDataset end-to-end behind a stub `lmdb` module (the real package
+    is not in this image): key encoding, PNG decode, center-crop, [-1, 1]
+    CHW output -- the reference lmdb_datasets.py contract."""
+    import io
+    import sys
+    import types
+
+    from PIL import Image
+
+    store = {}
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        buf = io.BytesIO()
+        Image.fromarray(rng.randint(0, 255, (40, 48, 3), dtype=np.uint8)
+                        ).save(buf, format="PNG")
+        store[str(i).encode()] = buf.getvalue()
+
+    class _Txn:
+        def get(self, key):
+            return store[key]
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class _Env:
+        def begin(self, write=False):
+            assert not write
+            return _Txn()
+
+    opened = {}
+
+    def _open(path, readonly=True, lock=False):
+        opened["path"] = path
+        assert readonly and not lock
+        return _Env()
+
+    stub = types.ModuleType("lmdb")
+    stub.open = _open
+    monkeypatch.setitem(sys.modules, "lmdb", stub)
+
+    from dimsum_tpu.data.datasets import LMDBDataset
+
+    ds = LMDBDataset(str(tmp_path), "celeba_256", image_size=32)
+    assert opened["path"].endswith("train.lmdb")
+    assert len(ds) == 30000
+    x, y = ds[1]
+    assert x.shape == (3, 32, 32) and y == 0
+    assert x.min() >= -1.0 and x.max() <= 1.0 and x.std() > 0.1

@@ -139,6 +139,19 @@ def test_bias_gelu_matches_jax():
         atol=1e-5)
 
 
+def test_gelu_back_matches_autodiff():
+    """The hand-derived backward (reference bias_gelu.py autograd fn) must
+    equal jax.vjp of the forward."""
+    from dimsum_tpu.utils.augment import gelu_back
+
+    x = jnp.linspace(-3.0, 3.0, 32).reshape(4, 8)
+    b = jnp.linspace(-0.2, 0.2, 8)
+    g = jnp.cos(x)  # arbitrary cotangent
+    _, vjp = jax.vjp(lambda y: bias_gelu(b, y), x)
+    np.testing.assert_allclose(np.asarray(gelu_back(g, b, x)),
+                               np.asarray(vjp(g)[0]), rtol=1e-4, atol=1e-5)
+
+
 def test_block_noise_std():
     k = jax.random.PRNGKey(0)
     n = block_noise(k, (4, 1, 32, 32), block_size=2)
