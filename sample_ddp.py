@@ -328,19 +328,24 @@ def main():
         gen_stats = None
         if (decode is not None and not save_images
                 and isinstance(det, JaxInceptionDetector)):
+            # params enter as jit ARGUMENTS: closed-over weight trees would
+            # lower into the HLO as literals -- ~400 MB of program body that
+            # the remote-compile relay rejects (HTTP 413)
             @jax.jit
-            def decode_feats(z):
-                img = vae.apply(vae_params, z, method=vae.decode)
+            def decode_feats(vp, dp, z):
+                img = vae.apply(vp, z, method=vae.decode)
                 u8 = jnp.clip((img + 1) * 127.5, 0, 255).astype(jnp.uint8)
-                return det.model.apply({"params": det.params},
-                                       preprocess_uint8(u8))
+                return det.model.apply({"params": dp}, preprocess_uint8(u8))
 
+            vae_dev = jax.device_put(vae_params)
+            det_dev = jax.device_put(det.params)
             gen_stats = FeatureStats(capture_all=need_all,
                                      capture_mean_cov=True,
                                      max_items=proc_samples)
             for out, _ in latent_batches():
                 t0 = time.time()
-                feats = np.asarray(jax.block_until_ready(decode_feats(out)))
+                feats = np.asarray(jax.block_until_ready(
+                    decode_feats(vae_dev, det_dev, out)))
                 timers["decode"] += time.time() - t0
                 gen_stats.append(feats)
 
