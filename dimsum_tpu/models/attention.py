@@ -112,7 +112,11 @@ class Attention(nn.Module):
         # materialized {1,4,3,0,2}-layout copies (r3 v5e trace)
         q, k, v = (qkv[..., i * D:(i + 1) * D].reshape(
             B, L, self.num_heads, head_dim) for i in range(3))
-        out = _sdpa(q, k, v)
+        from jax.ad_checkpoint import checkpoint_name
+
+        # remat tag: remat_policy "save:...+attn_out" keeps the attention
+        # outputs resident so the backward replay skips the O(L^2) softmax
+        out = checkpoint_name(_sdpa(q, k, v), "attn_out")
         out = out.reshape(B, L, D)
         return nn.Dense(D, use_bias=True, dtype=self.dtype, name="proj")(out)
 
@@ -146,7 +150,9 @@ class CrossAttentionFusion(nn.Module):
         q1, k1, v1 = qkv_of(x1, "qkv1")
         q2, k2, v2 = qkv_of(x2, "qkv2")
 
-        sdpa = _sdpa
+        from jax.ad_checkpoint import checkpoint_name
+
+        sdpa = lambda *a: checkpoint_name(_sdpa(*a), "attn_out")  # noqa: E731
         if not self.swap_k:
             x12 = sdpa(q1, k2, v2)
             x21 = sdpa(q2, k1, v1)

@@ -138,7 +138,10 @@ def _remat_policy(name: Optional[str]):
     output resident so the backward replay skips the MXU work.  "scan":
     keep the selective-scan kernel outputs (tagged "scan_out" in
     models/mamba.py) so the replay skips the Pallas scans.  "dots_scan":
-    both."""
+    both.  "save:A+B+..." composes freely from {dots, scan_out, attn_out,
+    conv_out} -- the tagged sites are the scan kernels (mamba.py), the
+    attention outputs (attention.py), and the conv prologues (mamba.py),
+    e.g. "save:dots+scan_out+attn_out"."""
     if name in (None, "", "none"):
         return None
     cp = jax.checkpoint_policies
@@ -149,6 +152,20 @@ def _remat_policy(name: Optional[str]):
     if name == "dots_scan":
         return cp.save_from_both_policies(
             cp.dots_saveable, cp.save_only_these_names("scan_out"))
+    if name.startswith("save:"):
+        known = {"scan_out", "attn_out", "conv_out"}
+        parts = [p for p in name[len("save:"):].split("+") if p]
+        tags = [p for p in parts if p != "dots"]
+        bad = set(tags) - known
+        if not parts or bad:
+            raise ValueError(
+                f"remat_policy {name!r}: unknown tags {sorted(bad)}; "
+                f"compose from 'dots' and {sorted(known)}")
+        pol = cp.save_only_these_names(*tags) if tags else None
+        if "dots" in parts:
+            pol = (cp.dots_saveable if pol is None
+                   else cp.save_from_both_policies(cp.dots_saveable, pol))
+        return pol
     raise ValueError(f"unknown remat_policy {name!r}")
 
 

@@ -191,8 +191,13 @@ class Mamba(nn.Module):
                                    name=f"x_proj{suffix}")(
                 x_in, conv_w, conv_b, reverse)
         else:
-            x_conv = causal_conv1d(x_in, conv_w, conv_b, activation="silu",
-                                   reverse=reverse)
+            from jax.ad_checkpoint import checkpoint_name
+
+            # remat tag: remat_policy "save:...+conv_out" keeps the conv
+            # prologue outputs resident in the backward replay
+            x_conv = checkpoint_name(
+                causal_conv1d(x_in, conv_w, conv_b, activation="silu",
+                              reverse=reverse), "conv_out")
 
         if x_dbl is None:
             x_dbl = nn.Dense(r + 2 * d_state, use_bias=False,

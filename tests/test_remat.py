@@ -33,7 +33,12 @@ def _loss_and_grads(cfg, params, x, t, y):
     return jax.value_and_grad(loss)(params)
 
 
-@pytest.mark.parametrize("policy", [None, "dots", "scan", "dots_scan"])
+@pytest.mark.parametrize("policy", [
+    None, "dots", "scan", "dots_scan",
+    # composable save: grammar over the tagged sites (scan kernels,
+    # attention outputs, conv prologues)
+    "save:dots+scan_out+attn_out", "save:scan_out+attn_out+conv_out",
+    "save:attn_out", "save:conv_out"])
 def test_remat_policies_match_no_remat(policy):
     cfg0 = _cfg()
     model = DiM(cfg0)
@@ -53,6 +58,15 @@ def test_remat_policies_match_no_remat(policy):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4,
             err_msg=f"grad mismatch at {p0} (policy={policy})")
+
+
+def test_unknown_save_tag_raises():
+    cfg = _cfg(grad_checkpoint=True, remat_policy="save:dots+bogus_tag")
+    model = DiM(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8, 8))
+    with pytest.raises(ValueError, match="unknown tags"):
+        model.init(jax.random.PRNGKey(1), x, jnp.zeros((1,)),
+                   jnp.zeros((1,), jnp.int32))
 
 
 def test_unknown_policy_raises():
