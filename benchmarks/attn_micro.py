@@ -92,6 +92,16 @@ def main():
         bench("full-block kernel (raw)", full_block_raw)
         bench("full-block kernel (wired)", full_block_wired)
 
+        for qb in (256, 512):
+            def full_block_qb(q, kk, v, qb=qb):
+                call = _build_call(B * H, L, Dh, q.dtype.name, False, qb=qb)
+                scale = jnp.asarray(Dh ** -0.5, q.dtype)
+                return call((q * scale).reshape(B * H, L, Dh),
+                            kk.reshape(B * H, L, Dh),
+                            v.reshape(B * H, L, Dh)).reshape(B, H, L, Dh)
+
+            bench(f"full-block qb={qb} (raw)", full_block_qb)
+
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             BlockSizes, flash_attention)
 

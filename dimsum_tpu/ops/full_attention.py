@@ -64,20 +64,29 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_call(bh, L, Dh, dtype_name, interpret):
+def _build_call(bh, L, Dh, dtype_name, interpret, qb=None):
+    """qb: Q-row block.  None/L = one (L, L) score tile per head (maximal
+    MXU work per grid step); smaller = a (qb, L) tile per step with K/V
+    held across the row loop -- less VMEM residency, more grid steps to
+    pipeline.  Softmax rows stay complete either way (K is always whole),
+    so outputs are identical; pick by measurement (benchmarks/attn_micro)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    spec = pl.BlockSpec((1, L, Dh), lambda i: (i, 0, 0),
-                        memory_space=pltpu.VMEM)
+    qb = L if qb in (None, 0) else min(qb, L)
+    assert L % qb == 0
+    spec_q = pl.BlockSpec((1, qb, Dh), lambda i, j: (i, j, 0),
+                          memory_space=pltpu.VMEM)
+    spec_kv = pl.BlockSpec((1, L, Dh), lambda i, j: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _attn_kernel,
-        grid=(bh,),
-        in_specs=[spec, spec, spec],
-        out_specs=spec,
+        grid=(bh, L // qb),
+        in_specs=[spec_q, spec_kv, spec_kv],
+        out_specs=spec_q,
         out_shape=jax.ShapeDtypeStruct((bh, L, Dh), jnp.dtype(dtype_name)),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )
 
@@ -95,7 +104,8 @@ def full_block_attention(q, k, v, sm_scale):
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
     call = _build_call(B * H, L, Dh, q.dtype.name,
-                       os.environ.get("DIMSUM_ATTN_INTERPRET", "0") == "1")
+                       os.environ.get("DIMSUM_ATTN_INTERPRET", "0") == "1",
+                       qb=int(os.environ.get("DIMSUM_FULL_ATTN_QB", "0")))
     o = call(qs.reshape(B * H, L, Dh), kt.reshape(B * H, L, Dh),
              vt.reshape(B * H, L, Dh))
     return o.reshape(B, H, L, Dh).transpose(0, 2, 1, 3)

@@ -66,3 +66,20 @@ def test_full_block_supported_gate():
     assert not full_block_supported(2048, 64)   # VMEM gate
     assert not full_block_supported(1000, 64)   # not lane (128) aligned
     assert not full_block_supported(1001, 64)   # not even 8-aligned
+
+
+@pytest.mark.parametrize("qb", [32, 64, 128])
+def test_full_block_attention_qb_invariance(qb, monkeypatch):
+    """Row-blocked grid (DIMSUM_FULL_ATTN_QB) must be output-identical to
+    the one-block kernel: K is whole per step, so softmax rows never
+    split."""
+    from dimsum_tpu.ops import full_attention as fa
+
+    B, L, H, Dh = 1, 128, 2, 64
+    rng = np.random.RandomState(2)
+    q, k, v = (jnp.asarray(rng.randn(B, L, H, Dh).astype(np.float32))
+               for _ in range(3))
+    base = np.asarray(fa.full_block_attention(q, k, v, Dh ** -0.5))
+    monkeypatch.setenv("DIMSUM_FULL_ATTN_QB", str(qb))
+    blocked = np.asarray(fa.full_block_attention(q, k, v, Dh ** -0.5))
+    np.testing.assert_array_equal(blocked, base)
