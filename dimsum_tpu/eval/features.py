@@ -174,12 +174,19 @@ def batched_features(images: Iterable[np.ndarray], detector: Callable,
                      stats: Optional[FeatureStats] = None,
                      max_items: Optional[int] = None) -> FeatureStats:
     """Stream batches of uint8 NCHW images through a detector into stats."""
+    import sys
+    import time
+
     if stats is None:
         stats = FeatureStats(capture_mean_cov=True, max_items=max_items)
+    last = time.time()
     for batch in images:
         if stats.is_full():
             break
         stats.append(detector(batch))
+        if time.time() - last > 120:  # heartbeat for long silent passes
+            print(f"[features] {stats.num_items} items", file=sys.stderr)
+            last = time.time()
     return stats
 
 

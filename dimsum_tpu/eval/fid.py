@@ -233,12 +233,20 @@ def _pr_jax(feats_real, feats_gen, nhood_size: int, row_batch: int):
         return jnp.any(ok & (d <= radii[None, :]), axis=1)
 
     def manifold_radii(feats_np):
+        import sys
+        import time
+
         feats, n = pad_rows(feats_np.astype(np.float32), 128)
         dev = jax.device_put(feats)
         out = []
+        last = time.time()
         for i in range(0, feats.shape[0], row_batch):
             out.append(np.asarray(radii_fn(nhood_size)(
                 dev[i: i + row_batch], dev, n)))
+            if time.time() - last > 120:  # heartbeat (watchdogs)
+                print(f"[pr-knn] radii {i + row_batch}/{feats.shape[0]}",
+                      file=sys.stderr)
+                last = time.time()
         return dev, n, np.concatenate(out)[:n]
 
     def fraction(probes_np, ref_dev, ref_n, ref_radii):

@@ -221,12 +221,19 @@ def main():
     t_start = time.time()
     save_images = not args.eval_streaming or args.save_images
 
-    def latent_batches():
-        """Generate on-device latent batches (this process's slice)."""
+    def latent_batches(skip: int = 0):
+        """Generate on-device latent batches (this process's slice).
+
+        skip: fast-forward past the first `skip` batches by advancing the
+        rng chain WITHOUT any device work -- the resume path after a
+        tunnel/host failure (feature chunks already on disk)."""
         nonlocal_rng = rng
         total = 0
         for it in range(iters):
             nonlocal_rng, kz, ky, ks = jax.random.split(nonlocal_rng, 4)
+            if it < skip:
+                total += global_batch
+                continue
             z = jax.random.normal(kz, (global_batch, cfg.in_channels,
                                        latent, latent))
             if args.use_even_classes and num_real_classes > 0:
@@ -242,7 +249,8 @@ def main():
             yield out, total
             total += global_batch
             if it % 10 == 0:
-                rate = min(total, proc_samples) / (time.time() - t_start)
+                rate = ((min(total, proc_samples) - skip * global_batch)
+                        / (time.time() - t_start))
                 print(f"[proc {proc_id}] [{it+1}/{iters}] {total} samples "
                       f"({rate:.2f} img/s, rss {_rss_gb():.2f} GB)",
                       file=sys.stderr)
@@ -339,15 +347,41 @@ def main():
 
             vae_dev = jax.device_put(vae_params)
             det_dev = jax.device_put(det.params)
-            gen_stats = FeatureStats(capture_all=need_all,
-                                     capture_mean_cov=True,
-                                     max_items=proc_samples)
-            for out, _ in latent_batches():
+
+            # Crash/tunnel-failure resumability: every batch's features
+            # land in a per-rank chunk file as soon as they reach the
+            # host; a restart fast-forwards the rng chain past the chunks
+            # already on disk and regenerates nothing.  (The reference's
+            # PNG folder is implicitly resumable; the streaming path must
+            # not be worse.)  ~8 KB/sample -- 400 MB at 50k.
+            feat_dir = os.path.join(args.sample_dir,
+                                    f"feat-chunks-rank{proc_id}")
+            os.makedirs(feat_dir, exist_ok=True)
+            done = 0
+            while os.path.exists(os.path.join(feat_dir,
+                                              f"chunk{done:06d}.npy")):
+                done += 1
+            if done:
+                print(f"[proc {proc_id}] resuming: {done}/{iters} feature "
+                      f"chunks on disk", file=sys.stderr)
+
+            for out, total in latent_batches(skip=done):
                 t0 = time.time()
                 feats = np.asarray(jax.block_until_ready(
                     decode_feats(vae_dev, det_dev, out)))
                 timers["decode"] += time.time() - t0
-                gen_stats.append(feats)
+                it = total // global_batch
+                tmp = os.path.join(feat_dir, f".chunk{it:06d}.tmp.npy")
+                np.save(tmp, feats)
+                os.replace(tmp, os.path.join(feat_dir,
+                                             f"chunk{it:06d}.npy"))
+
+            gen_stats = FeatureStats(capture_all=need_all,
+                                     capture_mean_cov=True,
+                                     max_items=proc_samples)
+            for it in range(iters):
+                gen_stats.append(np.load(
+                    os.path.join(feat_dir, f"chunk{it:06d}.npy")))
 
         results = calc_metrics_multiprocess(
             metric_list, real_dataset=real,
