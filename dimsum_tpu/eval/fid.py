@@ -110,12 +110,50 @@ def compute_fid(stats_real: FeatureStats, stats_gen: FeatureStats) -> float:
 
 def compute_kid(feats_real: np.ndarray, feats_gen: np.ndarray,
                 num_subsets: int = 100, max_subset_size: int = 1000,
-                seed: int = 0) -> float:
+                seed: int = 0, impl: str = "auto") -> float:
     """Kernel Inception Distance (reference kernel_inception_distance.py):
-    polynomial kernel (x.y/d + 1)^3 averaged over random subsets."""
+    polynomial kernel (x.y/d + 1)^3 averaged over random subsets.
+
+    impl "jax" runs the three m x m kernel matmuls per subset on the
+    accelerator (one jitted program, subset indices drawn on host with the
+    SAME rng stream as the numpy path); "numpy" is the reference math
+    verbatim; "auto" picks jax off-CPU.  Exchange-tested in
+    tests/test_pr_jax.py."""
+    if impl == "auto":
+        import jax
+
+        impl = "jax" if jax.default_backend() != "cpu" else "numpy"
     rng = np.random.default_rng(seed)
     n = feats_real.shape[1]
     m = min(min(feats_real.shape[0], feats_gen.shape[0]), max_subset_size)
+
+    if impl == "jax":
+        import jax
+        import jax.numpy as jnp
+
+        real_dev = jax.device_put(feats_real.astype(np.float32))
+        gen_dev = jax.device_put(feats_gen.astype(np.float32))
+
+        @jax.jit
+        def subset_term(xi, yi):
+            x = jnp.take(gen_dev, xi, axis=0)
+            y = jnp.take(real_dev, yi, axis=0)
+            dot = lambda a, b: jnp.dot(  # noqa: E731
+                a, b.T, precision="highest",
+                preferred_element_type=jnp.float32)
+            a = (dot(x, x) / n + 1) ** 3 + (dot(y, y) / n + 1) ** 3
+            b = (dot(x, y) / n + 1) ** 3
+            return (a.sum() - jnp.trace(a)) / (m - 1) - b.sum() * 2 / m
+
+        t = 0.0
+        for _ in range(num_subsets):
+            xi = rng.choice(feats_gen.shape[0], m, replace=False)
+            yi = rng.choice(feats_real.shape[0], m, replace=False)
+            # numpy path draws gen rows first, then real (order matters
+            # for rng-stream parity)
+            t += float(subset_term(jnp.asarray(xi), jnp.asarray(yi)))
+        return float(t / num_subsets / m)
+
     t = 0.0
     for _ in range(num_subsets):
         x = feats_gen[rng.choice(feats_gen.shape[0], m, replace=False)]

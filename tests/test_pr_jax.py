@@ -31,3 +31,17 @@ def test_pr_jax_row_chunking_invariance():
     a = compute_precision_recall(real, gen, impl="jax", row_batch=64)
     b = compute_precision_recall(real, gen, impl="jax", row_batch=4096)
     assert a == b
+
+
+def test_kid_jax_matches_numpy():
+    from dimsum_tpu.eval.fid import compute_kid
+
+    rng = np.random.default_rng(3)
+    real = rng.standard_normal((700, 64)).astype(np.float32)
+    gen = (rng.standard_normal((650, 64)) * 1.1 + 0.2).astype(np.float32)
+    k_np = compute_kid(real, gen, num_subsets=20, max_subset_size=300,
+                       impl="numpy")
+    k_jx = compute_kid(real, gen, num_subsets=20, max_subset_size=300,
+                       impl="jax")
+    # same rng stream -> same subsets; fp32 matmul sum-order only
+    assert abs(k_jx - k_np) < 1e-6 + 1e-4 * abs(k_np), (k_jx, k_np)
