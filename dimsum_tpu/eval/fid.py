@@ -131,28 +131,42 @@ def compute_kid(feats_real: np.ndarray, feats_gen: np.ndarray,
         import jax
         import jax.numpy as jnp
 
-        real_dev = jax.device_put(feats_real.astype(np.float32))
-        gen_dev = jax.device_put(feats_gen.astype(np.float32))
+        # all subset indices drawn up front, SAME rng stream as the numpy
+        # path (gen rows first, then real, per subset)
+        xis = np.empty((num_subsets, m), np.int32)
+        yis = np.empty((num_subsets, m), np.int32)
+        for i in range(num_subsets):
+            xis[i] = rng.choice(feats_gen.shape[0], m, replace=False)
+            yis[i] = rng.choice(feats_real.shape[0], m, replace=False)
 
+        # feature matrices MUST be jit arguments, not closed-over device
+        # arrays: closures lower as HLO literals, and at 50k x 2048 the
+        # ~800 MB compile request kills remote-compile backends (same
+        # failure class as the vae/detector trees in sample_ddp.py).  One
+        # lax.scan program returns all subset terms in a single call.
         @jax.jit
-        def subset_term(xi, yi):
-            x = jnp.take(gen_dev, xi, axis=0)
-            y = jnp.take(real_dev, yi, axis=0)
-            dot = lambda a, b: jnp.dot(  # noqa: E731
-                a, b.T, precision="highest",
-                preferred_element_type=jnp.float32)
-            a = (dot(x, x) / n + 1) ** 3 + (dot(y, y) / n + 1) ** 3
-            b = (dot(x, y) / n + 1) ** 3
-            return (a.sum() - jnp.trace(a)) / (m - 1) - b.sum() * 2 / m
+        def kid_terms(gd, rd, xis_d, yis_d):
+            def one(_, ij):
+                xi, yi = ij
+                x = jnp.take(gd, xi, axis=0)
+                y = jnp.take(rd, yi, axis=0)
+                dot = lambda a, b: jnp.dot(  # noqa: E731
+                    a, b.T, precision="highest",
+                    preferred_element_type=jnp.float32)
+                a = (dot(x, x) / n + 1) ** 3 + (dot(y, y) / n + 1) ** 3
+                b = (dot(x, y) / n + 1) ** 3
+                term = ((a.sum() - jnp.trace(a)) / (m - 1)
+                        - b.sum() * 2 / m)
+                return 0, term
+            _, terms = jax.lax.scan(one, 0, (xis_d, yis_d))
+            return terms
 
-        t = 0.0
-        for _ in range(num_subsets):
-            xi = rng.choice(feats_gen.shape[0], m, replace=False)
-            yi = rng.choice(feats_real.shape[0], m, replace=False)
-            # numpy path draws gen rows first, then real (order matters
-            # for rng-stream parity)
-            t += float(subset_term(jnp.asarray(xi), jnp.asarray(yi)))
-        return float(t / num_subsets / m)
+        terms = np.asarray(kid_terms(
+            jax.device_put(feats_gen.astype(np.float32)),
+            jax.device_put(feats_real.astype(np.float32)),
+            jnp.asarray(xis), jnp.asarray(yis)))
+        # host fp64 accumulation, same as the numpy path
+        return float(terms.astype(np.float64).sum() / num_subsets / m)
 
     t = 0.0
     for _ in range(num_subsets):
