@@ -9,10 +9,30 @@
 #
 # Tunnel-failure hardening: features persist per-batch (sample_ddp
 # feat-chunks resume), a watchdog kills the run if the log goes stale
-# >10 min (a dropped tunnel leaves block_until_ready hung forever), and
-# the loop retries -- each retry fast-forwards past the chunks on disk.
+# (a dropped tunnel leaves the axon client wedged in futex forever, no
+# error), and the loop retries -- each retry fast-forwards past the
+# chunks on disk.  Every long metric phase prints progress ([features],
+# [kid], [pr-knn]), so 20 min of true silence means a hang.  Before each
+# attempt, wait for the tunnel to actually serve a matmul -- the worker
+# takes minutes to come back and a blind restart just wedges again.
 cd "$(dirname "$0")/.."
 LOG=/tmp/r5_lane50k.log
+
+wait_for_tunnel() {
+  for i in $(seq 1 30); do
+    if timeout 90 python -c "
+import jax, jax.numpy as jnp, numpy as np
+x = jnp.ones((128, 128))
+assert float(np.asarray(x @ x).sum()) == 128.0 * 128 * 128
+" >/dev/null 2>&1; then
+      echo "tunnel OK after $i probe(s)" >> "$LOG"
+      return 0
+    fi
+    echo "tunnel probe $i failed; waiting 60s" >> "$LOG"
+    sleep 60
+  done
+  return 1
+}
 
 run_once() {
   timeout 14000 python sample_ddp.py ODE --model DiM-L/2 --image-size 256 \
@@ -29,11 +49,8 @@ run_once() {
   PID=$!
   while kill -0 $PID 2>/dev/null; do
     sleep 60
-    # stale-log watchdog; allow 20 min during the long metric math
-    # (PR/KID print nothing while computing) by only arming while the
-    # log is younger than the generation+features phase typically is
     AGE=$(( $(date +%s) - $(stat -c %Y "$LOG") ))
-    if [ "$AGE" -gt 1800 ]; then
+    if [ "$AGE" -gt 1200 ]; then
       echo "WATCHDOG: log stale ${AGE}s, killing $PID" >> "$LOG"
       kill $PID 2>/dev/null
       sleep 5
@@ -44,14 +61,18 @@ run_once() {
   return $?
 }
 
-for attempt in 1 2 3 4 5 6; do
+for attempt in 1 2 3 4 5 6 7 8; do
   echo "=== lane50k attempt $attempt ===" >> "$LOG"
+  if ! wait_for_tunnel; then
+    echo "LANE50K FAILED: tunnel never came back"
+    exit 1
+  fi
   if run_once; then
     echo "LANE50K DONE rc=0"
     exit 0
   fi
   echo "attempt $attempt failed; retrying (resume from chunks)" >> "$LOG"
-  sleep 120  # give the tunnel worker time to come back
+  sleep 60
 done
 echo "LANE50K FAILED after retries"
 exit 1

@@ -12,6 +12,7 @@ be held when only FID is computed.
 from __future__ import annotations
 
 import functools
+import sys
 from typing import Optional
 
 import numpy as np
@@ -161,10 +162,17 @@ def compute_kid(feats_real: np.ndarray, feats_gen: np.ndarray,
             _, terms = jax.lax.scan(one, 0, (xis_d, yis_d))
             return terms
 
-        terms = np.asarray(kid_terms(
-            jax.device_put(feats_gen.astype(np.float32)),
-            jax.device_put(feats_real.astype(np.float32)),
-            jnp.asarray(xis), jnp.asarray(yis)))
+        # phase prints keep external stall-watchdogs fed: through a
+        # remote-device tunnel the two uploads + compile are minutes of
+        # legitimate silence, indistinguishable from a hang otherwise
+        print("[kid] uploading gen features", file=sys.stderr)
+        gd = jax.device_put(feats_gen.astype(np.float32))
+        print("[kid] uploading real features", file=sys.stderr)
+        rd = jax.device_put(feats_real.astype(np.float32))
+        print("[kid] compiling + running subset scan", file=sys.stderr)
+        terms = np.asarray(kid_terms(gd, rd,
+                                     jnp.asarray(xis), jnp.asarray(yis)))
+        print("[kid] done", file=sys.stderr)
         # host fp64 accumulation, same as the numpy path
         return float(terms.astype(np.float64).sum() / num_subsets / m)
 
@@ -289,7 +297,10 @@ def _pr_jax(feats_real, feats_gen, nhood_size: int, row_batch: int):
         import time
 
         feats, n = pad_rows(feats_np.astype(np.float32), 128)
+        print(f"[pr-knn] uploading {feats.shape[0]} features",
+              file=sys.stderr)
         dev = jax.device_put(feats)
+        print("[pr-knn] radii pass (first call compiles)", file=sys.stderr)
         out = []
         last = time.time()
         for i in range(0, feats.shape[0], row_batch):
@@ -303,6 +314,8 @@ def _pr_jax(feats_real, feats_gen, nhood_size: int, row_batch: int):
 
     def fraction(probes_np, ref_dev, ref_n, ref_radii):
         probes, n = pad_rows(probes_np.astype(np.float32), 128)
+        print(f"[pr-knn] hit pass over {probes.shape[0]} probes",
+              file=sys.stderr)
         pr_dev = jax.device_put(probes)
         radii = np.full(ref_dev.shape[0], -1.0, np.float32)
         radii[:ref_n] = ref_radii
