@@ -61,6 +61,11 @@ def main():
                     help="euler = fixed 250 steps (deterministic work); "
                          "dopri5 = the reference's adaptive solver "
                          "(scripts/eval.sh), NFE counted on-device")
+    ap.add_argument("--compile-only", action="store_true",
+                    help="AOT-compile the sampling program into the "
+                         "persistent XLA cache and exit without executing "
+                         "(safe while another run owns the chip; the next "
+                         "full run starts warm)")
     args = ap.parse_args()
 
     from dimsum_tpu.models.dim import DiM, DiMConfig
@@ -92,7 +97,11 @@ def main():
         jnp.full((n,), cfg.num_classes),
     ]).astype(jnp.int32)
     t0v = jnp.zeros((2 * n,), jnp.float32)
-    params = jax.jit(model.init)(jax.random.PRNGKey(1), z, t0v, y)
+    if args.compile_only:
+        # shapes only -- model.init never executes, params stay abstract
+        params = jax.eval_shape(model.init, jax.random.PRNGKey(1), z, t0v, y)
+    else:
+        params = jax.jit(model.init)(jax.random.PRNGKey(1), z, t0v, y)
 
     transport = create_transport("GVP", "velocity")
     sampler = Sampler(transport)
@@ -112,6 +121,13 @@ def main():
                                     in_channels=cfg.in_channels)
 
         return sample_fn(z, model_fn, y=y)
+
+    if args.compile_only:
+        t0 = time.perf_counter()
+        run.lower(params, z, y).compile()
+        print(json.dumps({"compile_only": True,
+                          "compile_s": round(time.perf_counter() - t0, 1)}))
+        return
 
     # compile + warmup (forces full completion via host transfer)
     out = run(params, z, y)

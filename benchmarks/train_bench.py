@@ -41,6 +41,10 @@ def main():
                     help="none | dots | scan | dots_scan")
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--compile-only", action="store_true",
+                    help="AOT-compile the step-chain program into the "
+                         "persistent XLA cache and exit without executing "
+                         "(params/opt state stay abstract via eval_shape)")
     args = ap.parse_args()
 
     from dimsum_tpu.utils.compile_cache import enable_compile_cache
@@ -69,11 +73,20 @@ def main():
     x = jax.random.normal(jax.random.PRNGKey(0), (B, 4, latent, latent),
                           jnp.float32)
     y = (jnp.arange(B) % 1000).astype(jnp.int32)
-    params = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 4, latent,
-                                                          latent)),
-                        jnp.zeros((1,)), jnp.zeros((1,), jnp.int32))["params"]
+    if args.compile_only:
+        params = jax.eval_shape(
+            model.init, jax.random.PRNGKey(1),
+            jnp.zeros((1, 4, latent, latent)),
+            jnp.zeros((1,)), jnp.zeros((1,), jnp.int32))["params"]
+        state = jax.eval_shape(lambda p: create_train_state(p, optimizer),
+                               params)
+    else:
+        params = model.init(jax.random.PRNGKey(1),
+                            jnp.zeros((1, 4, latent, latent)),
+                            jnp.zeros((1,)),
+                            jnp.zeros((1,), jnp.int32))["params"]
+        state = create_train_state(params, optimizer)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
-    state = create_train_state(params, optimizer)
     step = make_train_step(model, transport, optimizer, mesh=None,
                            max_grad_norm=1.0, use_labels=True,
                            grad_accum=args.grad_accum)
@@ -97,6 +110,12 @@ def main():
 
     # block_until_ready does NOT sync through the tunnel; np.asarray does
     chain_j = jax.jit(chain, donate_argnums=(0,))
+    if args.compile_only:
+        t0 = time.time()
+        chain_j.lower(state, k).compile()
+        print(json.dumps({"compile_only": True,
+                          "compile_s": round(time.time() - t0, 1)}))
+        return
     t0 = time.time()
     state, losses = chain_j(state, k)
     np.asarray(losses)
